@@ -1,0 +1,269 @@
+"""Stacked Hourglass Network (Newell et al., arXiv:1603.06937) in Flax, NHWC.
+
+Architecture replicates reference model/hourglass.py exactly — layer for
+layer, name for name — so TF checkpoints import 1:1 and the param count at
+4 stacks / 256 channels is 13,784,260 (Train.ipynb cell 10):
+
+  * front module (hourglass.py:54-68): 7x7/s2 conv(64)+BN -> bottleneck(128)
+    -> maxpool -> bottleneck(128) -> bottleneck(256); 256x256 -> 64x64;
+  * each hourglass module (hourglass.py:35-52): 4 bottleneck+maxpool
+    downsample levels 64->8 (lines 160-181), bottom = maxpool->4x4 + 3
+    bottlenecks (127-140), 4 upsample levels of {skip bottleneck, 2x nearest
+    upsample, add, merge bottleneck} (96-124, 143-157);
+  * dual heads per stack (71-93): 1x1 conv(C)+BN -> 1x1 conv(K, sigmoid)
+    prediction head, plus two linear 1x1 convs whose sum with the module
+    input feeds the next stack (residual across stacks, line 91);
+  * bottleneck (184-206): 1x1(C/2) -> 3x3(C/2) -> 1x1(C), each conv with
+    *fused ReLU before BatchNorm* (the reference's nonstandard
+    conv->relu->BN ordering, matched here for numeric parity), plus an
+    identity skip, or a 1x1 relu conv skip when channel counts differ;
+  * mobile=True (209-231) swaps every Conv2D for SeparableConv2D.
+
+Keras-parity details: convs use glorot-uniform kernels and zero biases;
+BatchNorm uses epsilon=1e-3 and momentum=0.99 (Keras defaults, NOT the flax
+defaults). The model returns a list with one (B, 64, 64, K) heatmap tensor
+per stack for intermediate supervision.
+
+TPU-first choices: NHWC layout throughout (native for TPU convs), params
+stored float32 with a configurable bf16 compute dtype, optional
+rematerialization of each hourglass module to trade FLOPs for HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# Keras BatchNormalization defaults.
+_BN_EPS = 1e-3
+_BN_MOMENTUM = 0.99
+
+_KERNEL_INIT = nn.initializers.glorot_uniform()
+
+
+class SeparableConv(nn.Module):
+    """Keras SeparableConv2D equivalent: depthwise k x k then pointwise 1x1.
+
+    Parameter layout matches Keras (depthwise kernel (k, k, Cin, 1),
+    pointwise kernel (1, 1, Cin, Cout), single bias on the pointwise), so
+    param counts and weight import line up with the reference's mobile
+    variant (hourglass.py:209-231).
+    """
+
+    features: int
+    kernel_size: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        x = nn.Conv(
+            features=in_features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            feature_group_count=in_features,
+            use_bias=False,
+            padding="SAME",
+            kernel_init=_KERNEL_INIT,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(1, 1),
+            use_bias=True,
+            padding="SAME",
+            kernel_init=_KERNEL_INIT,
+            dtype=self.dtype,
+            name="pointwise",
+        )(x)
+        return x
+
+
+class StackedHourglass(nn.Module):
+    """The stacked hourglass model. Call returns [per-stack heatmaps]."""
+
+    num_classes: int = 17
+    num_stacks: int = 2
+    num_channels: int = 256
+    predict_activation: str = "sigmoid"
+    mobile: bool = False
+    compute_dtype: Any = jnp.float32
+    remat: bool = False  # checkpoint each hourglass module to save HBM
+
+    # ------------------------------------------------------------------
+    def _activate(self, y, activation):
+        if activation == "relu":
+            return nn.relu(y)
+        if activation == "sigmoid":
+            # Head nonlinearity in float32 for numerical parity.
+            return jax.nn.sigmoid(y.astype(jnp.float32))
+        if activation == "linear":
+            return y
+        raise ValueError(f"unknown activation {activation}")
+
+    def _conv(self, x, features, kernel_size, name, activation="relu"):
+        """Plain Conv2D + fused activation (front module and heads always use
+        plain convs in the reference, even in mobile mode)."""
+        y = nn.Conv(features=features,
+                    kernel_size=(kernel_size, kernel_size),
+                    padding="SAME",
+                    kernel_init=_KERNEL_INIT,
+                    dtype=self.compute_dtype,
+                    name=name)(x)
+        return self._activate(y, activation)
+
+    def _bconv(self, x, features, kernel_size, name, activation="relu"):
+        """Bottleneck conv: SeparableConv2D when mobile=True (hourglass.py:209-231),
+        plain Conv2D otherwise (hourglass.py:184-206)."""
+        if self.mobile:
+            y = SeparableConv(features=features, kernel_size=kernel_size,
+                              dtype=self.compute_dtype, name=name)(x)
+            return self._activate(y, activation)
+        return self._conv(x, features, kernel_size, name, activation)
+
+    def _bn(self, x, train: bool, name: str):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=_BN_MOMENTUM,
+            epsilon=_BN_EPS,
+            dtype=self.compute_dtype,
+            name=name,
+        )(x)
+
+    def _bottleneck(self, x, num_out_channels: int, name: str, train: bool):
+        """Reference bottleneck_block (hourglass.py:184-206): conv->relu->BN
+        chain 1x1(C/2) -> 3x3(C/2) -> 1x1(C) with identity-or-1x1 skip."""
+        if x.shape[-1] == num_out_channels:
+            skip = x
+        else:
+            skip = self._bconv(x, num_out_channels, 1, name + "_skip")
+        y = self._bconv(x, num_out_channels // 2, 1, name + "_conv_1x1_1")
+        y = self._bn(y, train, name + "_conv_1x1_1_bn")
+        y = self._bconv(y, num_out_channels // 2, 3, name + "_conv_3x3_2")
+        y = self._bn(y, train, name + "_conv_3x3_2_bn")
+        y = self._bconv(y, num_out_channels, 1, name + "_conv_1x1_3")
+        y = self._bn(y, train, name + "_conv_1x1_3_bn")
+        return skip + y
+
+    def _maxpool(self, x):
+        return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+    def _hourglass_module(self, x, hg_id: int, train: bool, is_last: bool):
+        """One hourglass (hourglass.py:35-52): encoder-decoder + dual heads.
+
+        For the final stack the next-stage head convs (conv_1x1_2/conv_1x1_3)
+        and residual add are dead code; Keras prunes them from the reference
+        Model graph (which is why S4/256 counts 13,784,260 params, not
+        13,854,660), so they are skipped here too.
+        """
+        c = self.num_channels
+        name = f"hg{hg_id}"
+
+        # Downsample blocks (hourglass.py:160-181).
+        f1 = self._bottleneck(x, c, name + "_downsample_f1", train)
+        p = self._maxpool(f1)
+        f2 = self._bottleneck(p, c, name + "_downsample_f2", train)
+        p = self._maxpool(f2)
+        f4 = self._bottleneck(p, c, name + "_downsample_f4", train)
+        p = self._maxpool(f4)
+        f8 = self._bottleneck(p, c, name + "_downsample_f8", train)
+
+        # Bottom block at 4x4 (hourglass.py:127-140).
+        b = self._maxpool(f8)
+        b = self._bottleneck(b, c, name + "_downsample_f8_1", train)
+        b = self._bottleneck(b, c, name + "_downsample_f8_2", train)
+        b = self._bottleneck(b, c, name + "_downsample_f8_3", train)
+
+        # Upsample + skip-add levels (hourglass.py:96-124, 143-157).
+        u = b
+        for feat, lvl in ((f8, "f8"), (f4, "f4"), (f2, "f2"), (f1, "f1")):
+            d = self._bottleneck(feat, c, f"{name}_upsample_{lvl}_short", train)
+            u = d + _nearest_upsample_2x(u)
+            u = self._bottleneck(u, c, f"{name}_upsample_{lvl}_merged", train)
+
+        # Dual heads (hourglass.py:71-93).
+        head = self._conv(u, c, 1, name + "_conv_1x1_1")
+        head = self._bn(head, train, name + "_conv_1x1_1_bn")
+        head_predict = self._conv(head, self.num_classes, 1,
+                                  name + "_conv_1x1_predict",
+                                  activation=self.predict_activation)
+        if is_last:
+            return x, head_predict
+        h2 = self._conv(head, c, 1, name + "_conv_1x1_2", activation="linear")
+        hm = self._conv(head_predict.astype(self.compute_dtype), c, 1,
+                        name + "_conv_1x1_3", activation="linear")
+        head_next = h2 + hm + x  # residual across stacks (hourglass.py:91)
+        return head_next, head_predict
+
+    # ------------------------------------------------------------------
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        x = x.astype(self.compute_dtype)
+        c = self.num_channels
+
+        # Front module (hourglass.py:54-68): 7x7/s2 conv is the only strided
+        # conv; it is a plain Conv2D even in mobile mode (only bottleneck
+        # convs are swapped for separable convs — hourglass.py:9-11).
+        y = nn.Conv(features=64, kernel_size=(7, 7), strides=(2, 2),
+                    padding="SAME", kernel_init=_KERNEL_INIT,
+                    dtype=self.compute_dtype, name="front_conv_1x1_1")(x)
+        y = nn.relu(y)
+        y = self._bn(y, train, "front_conv_1x1_1_bn")
+
+        y = self._bottleneck(y, c // 2, "front_bottleneck_1", train)
+        y = self._maxpool(y)
+        y = self._bottleneck(y, c // 2, "front_bottleneck_2", train)
+        y = self._bottleneck(y, c, "front_bottleneck_3", train)
+
+        outputs = []
+        for i in range(self.num_stacks):
+            is_last = i == self.num_stacks - 1
+            if self.remat:
+                mod = nn.remat(StackedHourglass._hourglass_module,
+                               static_argnums=(2, 3, 4))
+                y, head = mod(self, y, i, train, is_last)
+            else:
+                y, head = self._hourglass_module(y, i, train, is_last)
+            outputs.append(head.astype(jnp.float32))
+        return outputs
+
+
+def _nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Keras UpSampling2D (nearest, 2x) for NHWC tensors.
+
+    Implemented as reshape+broadcast (no gather): XLA lowers this to a cheap
+    layout change that fuses with the following add.
+    """
+    B, H, W, C = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
+
+
+def create_hourglass_model(
+    num_classes: int,
+    num_stacks: int,
+    num_channels: int,
+    input_shape: Sequence[int] = (256, 256, 3),
+    predict_activation: str = "sigmoid",
+    mobile: bool = False,
+    compute_dtype: Any = jnp.float32,
+    remat: bool = False,
+):
+    """Factory mirroring reference create_hourglass_model (hourglass.py:5-32).
+
+    Returns the Module; initialize with `model.init(key, dummy, train=False)`.
+    """
+    del input_shape  # shape is implied by the input array in JAX
+    return StackedHourglass(
+        num_classes=num_classes,
+        num_stacks=num_stacks,
+        num_channels=num_channels,
+        predict_activation=predict_activation,
+        mobile=mobile,
+        compute_dtype=compute_dtype,
+        remat=remat,
+    )

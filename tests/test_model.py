@@ -1,0 +1,119 @@
+"""Tests for the Flax stacked hourglass model: exact Keras param-count
+parity, output structure, mobile variant, and train/eval mode behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from single_person_pose_estimation_tpu.models.hourglass import (
+    StackedHourglass,
+    create_hourglass_model,
+)
+
+
+def init_model(stacks=1, channels=64, mobile=False, size=64):
+    m = StackedHourglass(num_stacks=stacks, num_channels=channels, mobile=mobile)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False)
+    return m, v
+
+
+def count(v):
+    return sum(x.size for x in jax.tree.leaves(v))
+
+
+@pytest.mark.parametrize("stacks,expected", [
+    # Keras count_params of the reference model (trainable + BN moving stats).
+    # 4-stack value is Train.ipynb cell 10's 13,784,260; note the reference's
+    # Keras graph prunes the final stack's unused next-stage head convs.
+    (1, 3_659_665),
+    (2, 7_034_530),
+    (4, 13_784_260),
+])
+def test_param_count_matches_keras(stacks, expected):
+    m = StackedHourglass(num_stacks=stacks, num_channels=256)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)), train=False)
+    assert count(v) == expected
+
+
+def test_outputs_one_per_stack():
+    m, v = init_model(stacks=3, channels=32)
+    outs = m.apply(v, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert isinstance(outs, list) and len(outs) == 3
+    for o in outs:
+        assert o.shape == (2, 16, 16, 17)
+        assert o.dtype == jnp.float32
+
+
+def test_sigmoid_head_range():
+    m, v = init_model()
+    outs = m.apply(v, jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)),
+                   train=False)
+    for o in outs:
+        assert float(jnp.min(o)) >= 0.0
+        assert float(jnp.max(o)) <= 1.0
+
+
+def test_mobile_variant_builds_and_is_smaller():
+    m, v = init_model(stacks=1, channels=64)
+    mm, mv = init_model(stacks=1, channels=64, mobile=True)
+    assert count(mv) < count(v)
+    outs = mm.apply(mv, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert outs[0].shape == (1, 16, 16, 17)
+
+
+def test_train_mode_updates_batch_stats():
+    m, v = init_model()
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    outs, mutated = m.apply(v, x, train=True, mutable=["batch_stats"])
+    before = jax.tree.leaves(v["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    changed = any(not np.allclose(b, a) for b, a in zip(before, after))
+    assert changed
+
+
+def test_eval_mode_is_deterministic_and_pure():
+    m, v = init_model()
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    o1 = m.apply(v, x, train=False)
+    o2 = m.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(o2[0]))
+
+
+def test_remat_matches_no_remat():
+    m = StackedHourglass(num_stacks=2, num_channels=32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    mr = StackedHourglass(num_stacks=2, num_channels=32, remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 64, 64, 3))
+    o1 = m.apply(v, x, train=False)
+    o2 = mr.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(o1[-1]), np.asarray(o2[-1]), atol=1e-6)
+
+
+def test_factory_signature():
+    m = create_hourglass_model(17, 2, 128, (256, 256, 3), "sigmoid", mobile=False)
+    assert m.num_stacks == 2 and m.num_channels == 128
+
+
+def test_jit_forward():
+    m, v = init_model()
+    fwd = jax.jit(lambda vv, x: m.apply(vv, x, train=False))
+    outs = fwd(v, jnp.zeros((1, 64, 64, 3)))
+    assert outs[0].shape == (1, 16, 16, 17)
+
+
+def test_gradients_flow_to_all_stacks():
+    """Intermediate supervision: every stack's params receive gradient."""
+    m, v = init_model(stacks=2, channels=32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 64, 64, 3))
+    y = jax.random.uniform(jax.random.PRNGKey(6), (1, 16, 16, 17))
+
+    def loss_fn(params):
+        outs, _ = m.apply({"params": params, "batch_stats": v["batch_stats"]},
+                          x, train=True, mutable=["batch_stats"])
+        return sum(jnp.mean((o - y) ** 2) for o in outs)
+
+    grads = jax.grad(loss_fn)(v["params"])
+    for name in ("hg0_conv_1x1_predict", "hg1_conv_1x1_predict"):
+        g = grads[name]["kernel"]
+        assert float(jnp.abs(g).max()) > 0
