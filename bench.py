@@ -1,0 +1,79 @@
+"""Benchmark: 256x256 stacked-hourglass inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's only published throughput — 89 ms/step at batch 16
+with `model.evaluate` on a Tesla P100 (Train.ipynb cell 27) ~= 180 images/s.
+That figure is for the 2-stack model; we benchmark the FLAGSHIP 4-stack /
+256-channel model (the published-best S4 config, ~2x the FLOPs) and still
+compare against the 180 img/s number, which makes vs_baseline conservative.
+Target (BASELINE.json): >= 10x per chip.
+
+Methodology note: each iteration's input depends on the previous output
+(un-foldable scalar coupling) and the loop is drained by a single host
+readback at the end — `block_until_ready` alone does not guarantee remote
+execution completed on tunneled TPU runtimes, and independent iterations
+can otherwise overlap or be elided.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_PER_S = 180.0  # P100, 2-stack, batch 16 (Train.ipynb cell 27)
+
+
+def bench_inference(num_stacks=4, num_channels=256, batch=128, iters=20,
+                    compute_dtype=jnp.bfloat16):
+    from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
+
+    model = StackedHourglass(num_stacks=num_stacks, num_channels=num_channels,
+                             compute_dtype=compute_dtype)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, 256, 3), jnp.float32),
+                           train=False)
+
+    @jax.jit
+    def forward_dep(variables, images, prev):
+        # Chain iterations through a scalar so no call can be elided/overlapped.
+        img = images * (1.0 + 1e-6 * prev)
+        out = model.apply(variables, img, train=False)[-1]
+        return jnp.mean(out)
+
+    images = jax.random.uniform(jax.random.PRNGKey(1),
+                                (batch, 256, 256, 3), jnp.float32)
+    prev = jnp.zeros(())
+    prev = forward_dep(variables, images, prev)
+    float(prev)  # warmup: compile + full execution drain
+
+    prev = jnp.zeros(())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        prev = forward_dep(variables, images, prev)
+    float(prev)  # drain the dependency chain
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    # Persistent compile cache keeps repeat bench runs fast (first compile of
+    # the S4 model through the TPU tunnel can take minutes).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    batch = 128
+    ips = bench_inference(batch=batch)
+    result = {
+        "metric": "hourglass_s4_256x256_inference_images_per_sec_per_chip",
+        "value": round(ips, 1),
+        "unit": "images/s",
+        "vs_baseline": round(ips / BASELINE_IMG_PER_S, 2),
+        "batch": batch,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Jitted train/eval steps with fused on-device preprocessing.
+
+TPU-native redesign of the reference's Keras `fit` step (trainer.py:49-56):
+instead of a host-side tf.data pipeline feeding the accelerator, the *whole*
+per-step pipeline — geometric+photometric augmentation, Gaussian heatmap
+target rendering, forward, loss, backward, Adam update — is one XLA program
+with donated state. Batches arrive as raw decoded crops + keypoints; the
+device does the rest.
+
+Data parallelism: `make_train_step(..., mesh=...)` returns a jit with
+NamedSharding constraints — state replicated, batch sharded over the
+"data" axis. GSPMD inserts the gradient all-reduce (and the cross-replica
+BatchNorm mean, i.e. sync-BN) over ICI automatically; there is no explicit
+pmap/psum plumbing to maintain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from single_person_pose_estimation_tpu import losses as losses_lib
+from single_person_pose_estimation_tpu.configs.default_config import Config
+from single_person_pose_estimation_tpu.ops.augment import augment_batch
+from single_person_pose_estimation_tpu.ops.heatmap import render_heatmaps_batch
+from single_person_pose_estimation_tpu.parallel import mesh as mesh_lib
+
+
+class TrainState(struct.PyTreeNode):
+    """Model + optimizer state. A pure pytree: jit/donate/checkpoint friendly.
+
+    Unlike the reference (which checkpoints weights only and silently resets
+    Adam moments on every resume — trainer.py:85-90), opt_state is part of
+    the state and survives checkpoint/resume.
+    """
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, model, tx, rng, input_shape=(1, 256, 256, 3)):
+        init_rng, state_rng = jax.random.split(rng)
+        variables = model.init(init_rng, jnp.zeros(input_shape, jnp.float32),
+                               train=False)
+        params = variables["params"]
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(params),
+            rng=state_rng,
+        )
+
+
+def _forward_loss(model, loss_fn, params, batch_stats, images, heatmaps):
+    outs, mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        images, train=True, mutable=["batch_stats"])
+    per_stack = losses_lib.per_stack_losses(loss_fn, heatmaps, outs)
+    total = jnp.sum(jnp.stack(per_stack))
+    return total, (mutated["batch_stats"], per_stack)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable,
+    config: Config,
+    mesh: Optional[Mesh] = None,
+    augment: bool = True,
+):
+    """Build the jitted train step.
+
+    The step signature is (state, batch) -> (state, metrics) where batch is
+    a dict with:
+      "image": (B, H, W, 3) float32 in [0, 1]
+      "kx", "ky": (B, K) float32 keypoints in heatmap (64x64) space
+      "kv": (B, K) int32 visibility
+    Metrics: {"loss": scalar, "loss/hg{i}": scalar per stack} — the same
+    per-stack breakdown Keras logs for the reference (Train.ipynb cell 20).
+    """
+    flip_pairs = config.flip_pairs
+    label_h, label_w = config.label_height, config.label_width
+    sigma = config.hm_sigma
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, next_rng = jax.random.split(state.rng)
+        images = batch["image"]
+        kx, ky, kv = batch["kx"], batch["ky"], batch["kv"]
+        if augment:
+            images, kx, ky, kv = augment_batch(
+                rng, images, kx, ky, kv,
+                label_size=label_w, flip_pairs=flip_pairs)
+        heatmaps = render_heatmaps_batch(
+            kx, ky, kv, height=label_h, width=label_w, sigma=sigma)
+
+        grad_fn = jax.value_and_grad(
+            lambda p: _forward_loss(model, loss_fn, p, state.batch_stats,
+                                    images, heatmaps),
+            has_aux=True)
+        (total, (new_stats, per_stack)), grads = grad_fn(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            rng=next_rng,
+        )
+        metrics = {"loss": total}
+        for i, l in enumerate(per_stack):
+            metrics[f"loss/hg{i}"] = l
+        return new_state, metrics
+
+    if mesh is not None:
+        repl = mesh_lib.replicated(mesh)
+        data = mesh_lib.batch_sharding(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(repl, data),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(
+    model,
+    loss_fn: Callable,
+    config: Config,
+    mesh: Optional[Mesh] = None,
+):
+    """Validation step: heatmap render (no augmentation, reference
+    make_valid_label semantics — dataset_builder.py:82-86), forward with
+    running BN statistics, per-stack losses."""
+    label_h, label_w = config.label_height, config.label_width
+    sigma = config.hm_sigma
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        heatmaps = render_heatmaps_batch(
+            batch["kx"], batch["ky"], batch["kv"],
+            height=label_h, width=label_w, sigma=sigma)
+        outs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False)
+        per_stack = losses_lib.per_stack_losses(loss_fn, heatmaps, outs)
+        metrics = {"loss": jnp.sum(jnp.stack(per_stack))}
+        for i, l in enumerate(per_stack):
+            metrics[f"loss/hg{i}"] = l
+        return metrics
+
+    if mesh is not None:
+        repl = mesh_lib.replicated(mesh)
+        data = mesh_lib.batch_sharding(mesh)
+        return jax.jit(step, in_shardings=(repl, data), out_shardings=repl)
+    return jax.jit(step)
+
+
+def make_predict_fn(model, mesh: Optional[Mesh] = None):
+    """Batched inference returning the LAST stack's heatmaps only
+    (the reference's eval convention, eval.py:108)."""
+
+    def predict(params, batch_stats, images):
+        outs = model.apply({"params": params, "batch_stats": batch_stats},
+                           images, train=False)
+        return outs[-1]
+
+    if mesh is not None:
+        repl = mesh_lib.replicated(mesh)
+        data = mesh_lib.batch_sharding(mesh)
+        return jax.jit(predict, in_shardings=(repl, repl, data),
+                       out_shardings=data)
+    return jax.jit(predict)
+
+
+def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+    """Adam with Keras defaults (b1=0.9, b2=0.999, eps=1e-7), matching the
+    reference optimizer (trainer.py:31)."""
+    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)

@@ -1,0 +1,170 @@
+"""Multi-chip tests on the spoofed 8-device CPU mesh: mesh construction,
+batch sharding, data-parallel train/eval step equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from single_person_pose_estimation_tpu import losses
+from single_person_pose_estimation_tpu.configs.default_config import Config
+from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
+from single_person_pose_estimation_tpu.parallel import mesh as mesh_lib
+from single_person_pose_estimation_tpu.training import steps
+
+
+TINY = Config().replace(hg_num_stacks=2, hg_num_channels=32,
+                        image_height=64, image_width=64,
+                        label_height=16, label_width=16)
+
+
+def tiny_model():
+    return StackedHourglass(num_stacks=2, num_channels=32)
+
+
+def make_batch(B, key=0):
+    return {
+        "image": jax.random.uniform(jax.random.PRNGKey(key), (B, 64, 64, 3)),
+        "kx": jax.random.uniform(jax.random.PRNGKey(key + 1), (B, 17)) * 16,
+        "ky": jax.random.uniform(jax.random.PRNGKey(key + 2), (B, 17)) * 16,
+        "kv": jnp.full((B, 17), 2, jnp.int32),
+    }
+
+
+def test_mesh_creation():
+    assert len(jax.devices()) == 8, "conftest must spoof 8 CPU devices"
+    mesh = mesh_lib.create_mesh((-1,), ("data",))
+    assert mesh.devices.shape == (8,)
+    mesh2 = mesh_lib.create_mesh((-1, 2), ("data", "model"))
+    assert mesh2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        mesh_lib.create_mesh((3,), ("data",))
+
+
+def test_shard_batch_layout():
+    mesh = mesh_lib.create_mesh((-1,), ("data",))
+    batch = mesh_lib.shard_batch(make_batch(16), mesh)
+    shard_shapes = [s.data.shape for s in batch["image"].addressable_shards]
+    assert all(s == (2, 64, 64, 3) for s in shard_shapes)
+    assert len(shard_shapes) == 8
+
+
+def test_pad_batch_to_devices():
+    batch, n = mesh_lib.pad_batch_to_devices(make_batch(13), 8)
+    assert n == 13
+    assert batch["image"].shape[0] == 16
+    batch, n = mesh_lib.pad_batch_to_devices(make_batch(16), 8)
+    assert n == 16 and batch["image"].shape[0] == 16
+
+
+def test_train_step_runs_and_metrics():
+    model = tiny_model()
+    tx = steps.make_optimizer(1e-3)
+    state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                    input_shape=(1, 64, 64, 3))
+    train_step = steps.make_train_step(model, tx, losses.iou, TINY)
+    state, metrics = train_step(state, make_batch(8))
+    assert int(state.step) == 1
+    assert set(metrics) == {"loss", "loss/hg0", "loss/hg1"}
+    assert float(metrics["loss"]) == pytest.approx(
+        float(metrics["loss/hg0"]) + float(metrics["loss/hg1"]), rel=1e-5)
+
+
+def test_loss_decreases_over_steps():
+    """Minimum end-to-end slice (SURVEY.md §7 stage 3): synthetic crops,
+    MSE step, loss decreasing."""
+    model = tiny_model()
+    tx = steps.make_optimizer(1e-3)
+    state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                    input_shape=(1, 64, 64, 3))
+    train_step = steps.make_train_step(model, tx, losses.weighted_mse, TINY,
+                                       augment=False)
+    batch = make_batch(8)
+    first = None
+    for i in range(8):
+        state, metrics = train_step(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+
+
+def test_data_parallel_matches_single_device():
+    """The sharded step must compute the same update as the unsharded one
+    (GSPMD all-reduce == single-device batch gradient).
+
+    Uses SGD: with Adam, f32 reduction-order noise (~1e-7) in near-zero
+    gradients flips m-hat/sqrt(v-hat) signs and shows up as +-lr param
+    deltas, masking true (in)equivalence.
+    """
+    import optax
+    model = tiny_model()
+    tx = optax.sgd(0.01)
+    batch = make_batch(16, key=7)
+
+    state1 = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                     input_shape=(1, 64, 64, 3))
+    step1 = steps.make_train_step(model, tx, losses.mse, TINY, augment=False)
+    state1, m1 = step1(state1, batch)
+
+    mesh = mesh_lib.create_mesh((-1,), ("data",))
+    state8 = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                     input_shape=(1, 64, 64, 3))
+    state8 = jax.device_put(state8, mesh_lib.replicated(mesh))
+    step8 = steps.make_train_step(model, tx, losses.mse, TINY, augment=False,
+                                  mesh=mesh)
+    state8, m8 = step8(state8, mesh_lib.shard_batch(batch, mesh))
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+    p1 = jax.tree.leaves(state1.params)
+    p8 = jax.tree.leaves(state8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_eval_step_sharded():
+    model = tiny_model()
+    tx = steps.make_optimizer(1e-3)
+    mesh = mesh_lib.create_mesh((-1,), ("data",))
+    state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                    input_shape=(1, 64, 64, 3))
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    eval_step = steps.make_eval_step(model, losses.iou, TINY, mesh=mesh)
+    m = eval_step(state, mesh_lib.shard_batch(make_batch(16), mesh))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_predict_fn_returns_last_stack():
+    model = tiny_model()
+    tx = steps.make_optimizer(1e-3)
+    state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                    input_shape=(1, 64, 64, 3))
+    predict = steps.make_predict_fn(model)
+    out = predict(state.params, state.batch_stats,
+                  jnp.zeros((4, 64, 64, 3)))
+    assert out.shape == (4, 16, 16, 17)
+    # must equal apply()[-1]
+    ref = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats},
+                      jnp.zeros((4, 64, 64, 3)), train=False)[-1]
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_graft_entry_dryrun():
+    """The driver's multichip dry run must work on the spoofed mesh."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_graft_entry_forward_shapes():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out_shape = jax.eval_shape(fn, *args)
+    assert out_shape.shape == (8, 64, 64, 17)
