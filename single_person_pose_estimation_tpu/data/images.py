@@ -1,0 +1,87 @@
+"""Host-side image codecs: JPEG decode/encode and resize.
+
+cv2 preferred (SIMD libjpeg-turbo), PIL fallback; all functions speak RGB
+uint8 numpy arrays. The device-side pipeline only ever sees fixed-size
+float32 tensors — these helpers are the host half of the input stage
+(JPEG bytes -> 256x256 RGB), replacing tf.image.decode_image/resize in the
+reference's parse path (dataset_builder.py:264, 105).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
+
+try:
+    from PIL import Image
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    Image = None
+    _HAS_PIL = False
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG/PNG bytes -> RGB uint8 (H, W, 3)."""
+    if _HAS_CV2:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("image decode failed")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if _HAS_PIL:
+        import io
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    raise RuntimeError("no image codec available (need cv2 or PIL)")
+
+
+def encode_jpeg(image: np.ndarray, quality: int = 95) -> bytes:
+    """RGB uint8 (H, W, 3) -> JPEG bytes (quality 95, tf.io.encode_jpeg's
+    default, used by the reference ETL gen_tfrecords.py:122)."""
+    image = np.ascontiguousarray(image)
+    if _HAS_CV2:
+        ok, buf = cv2.imencode(
+            ".jpg", cv2.cvtColor(image, cv2.COLOR_RGB2BGR),
+            [int(cv2.IMWRITE_JPEG_QUALITY), quality])
+        if not ok:
+            raise ValueError("jpeg encode failed")
+        return bytes(buf)
+    if _HAS_PIL:
+        import io
+        buf = io.BytesIO()
+        Image.fromarray(image).save(buf, format="JPEG", quality=quality)
+        return buf.getvalue()
+    raise RuntimeError("no image codec available (need cv2 or PIL)")
+
+
+def read_image(path: str) -> np.ndarray:
+    """Read an image file as RGB uint8."""
+    with open(path, "rb") as f:
+        return decode_jpeg(f.read())
+
+
+def resize_bilinear(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize to (height, width); float32 output.
+
+    Half-pixel-center convention, matching tf.image.resize (the resize the
+    reference applies per example, dataset_builder.py:105). cv2's
+    INTER_LINEAR uses the same convention.
+    """
+    h, w = size
+    if _HAS_CV2:
+        out = cv2.resize(image.astype(np.float32), (w, h),
+                         interpolation=cv2.INTER_LINEAR)
+        return out
+    if _HAS_PIL:
+        return np.asarray(
+            Image.fromarray(image.astype(np.uint8)).resize((w, h),
+                                                           Image.BILINEAR),
+            dtype=np.float32)
+    raise RuntimeError("no resize backend available")

@@ -1,0 +1,235 @@
+"""Input pipeline: record shards -> batched host tensors.
+
+TPU-first split of responsibilities (SURVEY.md §7 stage 4): the host does
+only what a TPU cannot — read record shards (native mmap reader), decode
+JPEG, resize to the fixed 256x256 input — on a background prefetch thread.
+Everything the reference ran per-example in Python on the host (imgaug
+affine warp, photometric jitter, Gaussian heatmap rendering through TWO
+``tf.numpy_function`` process boundaries, dataset_builder.py:201-238) runs
+instead inside the jitted train step on device (training/steps.py).
+
+API mirrors the reference DatasetBuilder (dataset_builder.py:10-67):
+``DatasetBuilder(config, ratio)``, ``build_datasets()`` ->
+(train, valid) iterators, ``get_ds_prediction()``, plus
+``num_train_examples`` / ``num_valid_examples`` with the same
+filename-suffix length accounting.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from single_person_pose_estimation_tpu.configs.default_config import Config
+from single_person_pose_estimation_tpu.data import example_codec, tfrecord
+from single_person_pose_estimation_tpu.data.images import decode_jpeg, resize_bilinear
+
+
+def _parse_example(record: bytes, config: Config, training: bool
+                   ) -> Dict[str, np.ndarray]:
+    """Record bytes -> {image [H,W,3] f32 in [0,1], kx, ky (heatmap space), kv}.
+
+    Replicates parse_tfrecord_fn + prepare_example
+    (dataset_builder.py:241-269, 89-113): decode image to float, resize to
+    256x256, rescale keypoints from crop-pixel space directly into 64x64
+    heatmap space by dividing by the stored crop width/height.
+    """
+    ex = example_codec.decode_example(record)
+    K = config.num_keypoints
+    img = decode_jpeg(ex["image"][0])
+    width = float(ex["width"][0])
+    height = float(ex["height"][0])
+    img = resize_bilinear(img, (config.image_height, config.image_width)) / 255.0
+
+    def fixed(vals, dtype):
+        arr = np.zeros((K,), dtype=dtype)
+        arr[:min(K, len(vals))] = vals[:K]
+        return arr
+
+    kx = fixed(ex.get("keypoints/x", []), np.float32)
+    ky = fixed(ex.get("keypoints/y", []), np.float32)
+    kv = fixed(ex.get("keypoints/vis", []), np.int64).astype(np.int32)
+    kx = kx / width * config.label_width
+    ky = ky / height * config.label_height
+    return {"image": img.astype(np.float32), "kx": kx, "ky": ky, "kv": kv}
+
+
+def _parse_prediction_example(record: bytes, config: Config):
+    """Record bytes -> (image, meta) with un-cropping metadata
+    (prepare_prediction_example, dataset_builder.py:115-138)."""
+    ex = example_codec.decode_example(record)
+    K = config.num_keypoints
+    img = decode_jpeg(ex["image"][0])
+    img = resize_bilinear(img, (config.image_height, config.image_width)) / 255.0
+
+    def fixed(vals, dtype):
+        arr = np.zeros((K,), dtype=dtype)
+        arr[:min(K, len(vals))] = vals[:K]
+        return arr
+
+    meta = {
+        "ann_id": int(ex["ann_id"][0]),
+        "image_id": int(ex["image_id"][0]),
+        "coco_url": bytes(ex.get("coco_url", [b""])[0]),
+        "keypoints/x": fixed(ex.get("keypoints/x", []), np.float32),
+        "keypoints/y": fixed(ex.get("keypoints/y", []), np.float32),
+        "keypoints/vis": fixed(ex.get("keypoints/vis", []), np.int64),
+        "bbox_x": float(ex["bbox_x"][0]),
+        "bbox_y": float(ex["bbox_y"][0]),
+        "bbox_w": int(ex["width"][0]),   # crop == square bbox size
+        "bbox_h": int(ex["height"][0]),
+        "original_bbox": np.asarray(ex.get("original_bbox", [0, 0, 0, 0]),
+                                    dtype=np.float32),
+    }
+    return img.astype(np.float32), meta
+
+
+def _stack_batch(examples: Sequence[Dict[str, np.ndarray]]):
+    return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+
+
+class _Prefetcher:
+    """Runs an iterator on a background thread with a bounded queue.
+
+    cv2's JPEG decode releases the GIL, so host decode overlaps device
+    steps even on a single core.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, it: Iterator, depth: int = 4):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(target=self._run, args=(it,),
+                                        daemon=True)
+        self._thread.start()
+
+    def _run(self, it):
+        try:
+            for item in it:
+                self._q.put(item)
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            raise StopIteration
+        return item
+
+
+class DatasetBuilder:
+    """Builds train/valid/prediction iterators from record shards."""
+
+    def __init__(self, config: Config, ratio: float = 1.0):
+        if not 0 < ratio <= 1:
+            raise ValueError("ratio must be in (0, 1]")
+        self.config = config
+        self.train_filenames = sorted(
+            glob.glob(os.path.join(config.train_tfrecords_dir, "*.tfrec")))
+        self.valid_filenames = sorted(
+            glob.glob(os.path.join(config.valid_tfrecords_dir, "*.tfrec")))
+        if ratio < 1:
+            self.train_filenames = self.train_filenames[
+                :int(np.ceil(ratio * len(self.train_filenames)))]
+            self.valid_filenames = self.valid_filenames[
+                :int(np.ceil(ratio * len(self.valid_filenames)))]
+        self.num_train_examples = tfrecord.count_examples_from_filenames(
+            self.train_filenames)
+        self.num_valid_examples = tfrecord.count_examples_from_filenames(
+            self.valid_filenames)
+        self._rng = np.random.default_rng(config.seed)
+        print(f"Train dataset with {len(self.train_filenames)} shards and "
+              f"{self.num_train_examples} examples.")
+        print(f"Valid dataset with {len(self.valid_filenames)} shards and "
+              f"{self.num_valid_examples} examples.")
+
+    # -- raw record streams ------------------------------------------------
+
+    def _record_stream(self, filenames: Sequence[str], shuffle: bool,
+                       repeat: bool) -> Iterator[bytes]:
+        buffer_size = self.config.shuffle_buffer if shuffle else 0
+        while True:
+            order = list(filenames)
+            if shuffle:
+                self._rng.shuffle(order)
+            buf: List[bytes] = []
+            for path in order:
+                for rec in tfrecord.iter_records(path):
+                    if not buffer_size:
+                        yield rec
+                    else:
+                        buf.append(rec)
+                        if len(buf) > buffer_size:
+                            j = int(self._rng.integers(len(buf)))
+                            buf[j], buf[-1] = buf[-1], buf[j]
+                            yield buf.pop()
+            while buf:
+                j = int(self._rng.integers(len(buf)))
+                buf[j], buf[-1] = buf[-1], buf[j]
+                yield buf.pop()
+            if not repeat:
+                return
+
+    # -- public API --------------------------------------------------------
+
+    def _batches(self, filenames, shuffle, repeat, training):
+        cfg = self.config
+
+        def gen():
+            # Batch *within* an epoch then repeat — matching the reference's
+            # ds.batch(B).repeat() ordering (dataset_builder.py:44-45), so
+            # the final batch of each epoch is partial rather than wrapping.
+            while True:
+                batch: List[Dict[str, np.ndarray]] = []
+                for rec in self._record_stream(filenames, shuffle,
+                                               repeat=False):
+                    batch.append(_parse_example(rec, cfg, training))
+                    if len(batch) == cfg.batch_size:
+                        yield _stack_batch(batch)
+                        batch = []
+                if batch:
+                    yield _stack_batch(batch)
+                if not repeat:
+                    return
+
+        return _Prefetcher(gen())
+
+    def build_datasets(self):
+        """(train, valid) batch iterators. Train: shard+buffer shuffled,
+        infinite. Valid: ordered, infinite (reference repeats both,
+        dataset_builder.py:45,53); use steps_per_epoch externally."""
+        train = self._batches(self.train_filenames, shuffle=True,
+                              repeat=True, training=True)
+        valid = self._batches(self.valid_filenames, shuffle=False,
+                              repeat=True, training=False)
+        return train, valid
+
+    def get_ds_prediction(self):
+        """Finite iterator of (images [B,256,256,3], meta list) over the
+        valid split, metadata preserved for un-cropping (eval parity with
+        get_ds_prediction, dataset_builder.py:58-67)."""
+        cfg = self.config
+
+        def gen():
+            images: List[np.ndarray] = []
+            metas: List[Dict] = []
+            for rec in self._record_stream(self.valid_filenames,
+                                           shuffle=False, repeat=False):
+                img, meta = _parse_prediction_example(rec, cfg)
+                images.append(img)
+                metas.append(meta)
+                if len(images) == cfg.batch_size:
+                    yield np.stack(images), metas
+                    images, metas = [], []
+            if images:
+                yield np.stack(images), metas
+
+        return _Prefetcher(gen())

@@ -1,0 +1,178 @@
+"""Data layer tests: COCO ETL on a synthetic mini-dataset, record
+round-trip through the input pipeline, crop_and_pad parity with the
+reference's tf.image implementation."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from single_person_pose_estimation_tpu.configs.default_config import Config
+from single_person_pose_estimation_tpu.data import coco, pipeline, tfrecord
+from single_person_pose_estimation_tpu.data.images import encode_jpeg
+
+
+def make_synthetic_coco(root, split="train2017", n_images=3, people_per=2):
+    """Tiny COCO-format dataset: gradient images + synthetic person boxes."""
+    img_dir = os.path.join(root, "images", split)
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    ann_id = 1000
+    for i in range(n_images):
+        H, W = 240, 320
+        img = (rng.uniform(0, 255, size=(H, W, 3))).astype(np.uint8)
+        name = f"{i:012d}.jpg"
+        with open(os.path.join(img_dir, name), "wb") as f:
+            f.write(encode_jpeg(img))
+        images.append({"id": i, "file_name": name, "width": W, "height": H,
+                       "coco_url": f"http://x/{name}"})
+        for p in range(people_per):
+            x, y, w, h = 40 + 60 * p, 30, 70, 150
+            kps = []
+            for k in range(17):
+                kps += [x + 10 + (k % 5) * 8, y + 10 + (k // 5) * 20, 2]
+            annotations.append({
+                "id": ann_id, "image_id": i, "iscrowd": 0,
+                "bbox": [x, y, w, h], "num_keypoints": 17,
+                "keypoints": kps, "category_id": 1,
+            })
+            ann_id += 1
+    # One crowd + one sparse annotation that must be filtered out.
+    annotations.append({"id": ann_id, "image_id": 0, "iscrowd": 1,
+                        "bbox": [0, 0, 50, 50], "num_keypoints": 17,
+                        "keypoints": [1, 1, 2] * 17, "category_id": 1})
+    annotations.append({"id": ann_id + 1, "image_id": 0, "iscrowd": 0,
+                        "bbox": [0, 0, 50, 50], "num_keypoints": 2,
+                        "keypoints": [1, 1, 2] * 17, "category_id": 1})
+
+    annot = {"images": images, "annotations": annotations, "categories": []}
+    ann_file = os.path.join(ann_dir, f"person_keypoints_{split}.json")
+    with open(ann_file, "w") as f:
+        json.dump(annot, f)
+    return ann_file
+
+
+@pytest.fixture
+def mini_cfg(tmp_path):
+    root = str(tmp_path / "dataset")
+    make_synthetic_coco(root, "train2017")
+    make_synthetic_coco(root, "val2017", n_images=2, people_per=1)
+    return Config().replace(dataset_dir=root, batch_size=4,
+                            num_examples_per_record=5, shuffle_buffer=8)
+
+
+def test_load_person_examples_filters(mini_cfg):
+    exs = coco.load_person_examples(mini_cfg.train_annot_file,
+                                    mini_cfg.min_num_keypoints)
+    assert len(exs) == 6            # 3 images x 2 people; crowd+sparse dropped
+    assert all(e.num_keypoints >= 5 for e in exs)
+
+
+def test_etl_and_pipeline_round_trip(mini_cfg):
+    coco.gen_trainval_records(mini_cfg)
+    builder = pipeline.DatasetBuilder(mini_cfg)
+    assert builder.num_train_examples == 6
+    assert builder.num_valid_examples == 2
+    # Shard naming: 6 examples, 5/record -> 2 shards (5, 1).
+    names = [os.path.basename(p) for p in builder.train_filenames]
+    assert names == ["file_train_00-5.tfrec", "file_train_01-1.tfrec"]
+
+    train_it, valid_it = builder.build_datasets()
+    batch = next(train_it)
+    assert batch["image"].shape == (4, 256, 256, 3)
+    assert batch["image"].dtype == np.float32
+    assert 0.0 <= batch["image"].min() and batch["image"].max() <= 1.0
+    assert batch["kx"].shape == (4, 17)
+    # Keypoints scaled into heatmap space.
+    assert (batch["kx"] >= 0).all() and (batch["kx"] < 64 + 1e-5).all()
+    vbatch = next(valid_it)
+    assert vbatch["image"].shape[0] == 2   # only 2 valid examples
+
+
+def test_keypoint_scaling_correct(mini_cfg):
+    """A keypoint at crop-pixel (px, py) in a (S x S) crop must land at
+    px/S*64 in heatmap space (prepare_example, dataset_builder.py:104-111)."""
+    coco.gen_trainval_records(mini_cfg)
+    builder = pipeline.DatasetBuilder(mini_cfg)
+    recs = list(tfrecord.iter_records(builder.valid_filenames[0]))
+    from single_person_pose_estimation_tpu.data import example_codec
+    ex = example_codec.decode_example(recs[0])
+    parsed = pipeline._parse_example(recs[0], mini_cfg, training=False)
+    want = np.zeros(17, np.float32)
+    xs = ex["keypoints/x"]
+    want[:len(xs)] = np.asarray(xs) / ex["width"][0] * 64
+    np.testing.assert_allclose(parsed["kx"], want, rtol=1e-5)
+
+
+def test_prediction_metadata(mini_cfg):
+    coco.gen_trainval_records(mini_cfg)
+    builder = pipeline.DatasetBuilder(mini_cfg)
+    images, metas = next(builder.get_ds_prediction())
+    assert images.shape[0] == len(metas) == 2
+    m = metas[0]
+    for key in ("ann_id", "image_id", "bbox_x", "bbox_y", "bbox_w", "bbox_h",
+                "original_bbox", "keypoints/x", "keypoints/vis"):
+        assert key in m
+    assert m["original_bbox"].shape == (4,)
+    # Crop is square: stored width == height == square bbox side.
+    assert m["bbox_w"] == m["bbox_h"]
+
+
+def test_train_stream_is_shuffled_and_infinite(mini_cfg):
+    coco.gen_trainval_records(mini_cfg)
+    builder = pipeline.DatasetBuilder(mini_cfg)
+    train_it, _ = builder.build_datasets()
+    # 6 examples, batch 4: draw several batches, stream must not stop.
+    batches = [next(train_it) for _ in range(5)]
+    assert all(b["image"].shape[0] in (2, 4) for b in batches)
+
+
+def test_crop_and_pad_np_matches_tf():
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(3)
+    image = rng.integers(0, 255, size=(100, 120, 3)).astype(np.uint8)
+
+    for bbox in [(20.6, 10.2, 50.9, 50.9),      # interior, fractional
+                 (-15.5, -9.1, 60.0, 60.0),     # beyond top-left
+                 (90.0, 70.0, 55.3, 55.3),      # beyond bottom-right
+                 (-10.0, 60.0, 80.0, 80.0)]:    # mixed
+        got = coco.crop_and_pad_np(image, bbox)
+
+        x, y, w, h = bbox
+        off_w = int(abs(x)) if x < 0 else 0
+        off_h = int(abs(y)) if y < 0 else 0
+        tw = 120 + off_w
+        th = 100 + off_h
+        if x + w > 120:
+            tw += int(x + w - 120) + 1
+        if y + h > 100:
+            th += int(y + h - 100) + 1
+        padded = tf.image.pad_to_bounding_box(image, off_h, off_w, th, tw)
+        want = tf.image.crop_to_bounding_box(
+            padded, int(max(y, 0)), int(max(x, 0)), int(h), int(w)).numpy()
+        np.testing.assert_array_equal(got, want)
+
+
+def test_etl_keypoint_filtering(mini_cfg):
+    """ETL keypoint shift/filter must agree with the jit-able
+    ops.geometry.keypoints_to_crop_frame."""
+    from single_person_pose_estimation_tpu.ops import geometry
+    exs = coco.load_person_examples(mini_cfg.train_annot_file, 5)
+    ex = exs[0]
+    sq = coco.transform_bbox_square_np(ex.bbox, 1.25)
+    feats = coco.build_example_features(
+        np.zeros((ex.height, ex.width, 3), np.uint8), ex, 1.25)
+    xs = np.asarray(ex.keypoints[0::3], np.float32)
+    ys = np.asarray(ex.keypoints[1::3], np.float32)
+    vs = np.asarray(ex.keypoints[2::3], np.int32)
+    gx, gy, gv = geometry.keypoints_to_crop_frame(xs, ys, vs, np.asarray(sq))
+    np.testing.assert_allclose(np.asarray(feats["keypoints/x"]),
+                               np.asarray(gx), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(feats["keypoints/y"]),
+                               np.asarray(gy), rtol=1e-5)
+    assert feats["keypoints/vis"] == np.asarray(gv).tolist()

@@ -1,0 +1,175 @@
+"""TFRecord + Example codec tests: self round-trip, TF-oracle round-trip
+in BOTH directions (our writer -> TF reader; TF writer -> our reader),
+CRC verification, native/Python path equivalence."""
+
+import os
+
+import numpy as np
+import pytest
+
+from single_person_pose_estimation_tpu.data import example_codec, tfrecord
+
+
+def sample_features():
+    return {
+        "ann_id": [12345],
+        "image_id": [678],
+        "image": [b"\x00\x01\x02jpegbytes\xff"],
+        "image_path": [b"img/000001.jpg"],
+        "coco_url": [b"http://example/1.jpg"],
+        "width": [321],
+        "height": [240],
+        "keypoints/x": [1.5, 0.0, 63.25],
+        "keypoints/y": [2.5, 0.0, 10.0],
+        "keypoints/vis": [2, 0, 1],
+        "keypoints/num": [2],
+        "bbox_x": [-3.5],
+        "bbox_y": [7.25],
+        "original_bbox": [10.0, 20.0, 30.0, 40.0],
+    }
+
+
+def test_example_codec_round_trip():
+    feats = sample_features()
+    data = example_codec.encode_example(feats)
+    out = example_codec.decode_example(data)
+    assert set(out) == set(feats)
+    assert out["ann_id"] == [12345]
+    assert out["image"] == [b"\x00\x01\x02jpegbytes\xff"]
+    np.testing.assert_allclose(out["keypoints/x"], [1.5, 0.0, 63.25])
+    assert out["keypoints/vis"] == [2, 0, 1]
+    assert out["bbox_x"] == [-3.5]
+
+
+def test_negative_int64_round_trip():
+    data = example_codec.encode_example({"v": [-5, 0, 7]})
+    assert example_codec.decode_example(data)["v"] == [-5, 0, 7]
+
+
+def test_crc32c_known_values():
+    # Standard CRC32C test vectors.
+    assert tfrecord.crc32c(b"") == 0
+    assert tfrecord.crc32c(b"123456789") == 0xE3069283
+
+
+def test_crc32c_matches_known_vector():
+    # RFC 3720 test vector: 32 bytes of zeros -> 0x8a9136aa
+    assert tfrecord.crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_writer_reader_round_trip(tmp_path):
+    path = str(tmp_path / "t.tfrec")
+    records = [b"alpha", b"", b"x" * 10000]
+    with tfrecord.TFRecordWriter(path) as w:
+        for r in records:
+            w.write(r)
+    got = list(tfrecord.iter_records(path))
+    assert got == records
+
+
+def test_native_matches_python(tmp_path):
+    if not tfrecord.native_available():
+        pytest.skip("native lib not built")
+    path = str(tmp_path / "t.tfrec")
+    records = [os.urandom(n) for n in (1, 100, 65536)]
+    with tfrecord.TFRecordWriter(path) as w:
+        for r in records:
+            w.write(r)
+    via_python = list(tfrecord._iter_records_python(path, verify_crc=True))
+    reader = tfrecord.TFRecordReader(path)
+    via_native = list(reader)
+    reader.close()
+    assert via_python == via_native == records
+
+
+def test_native_crc_matches_python():
+    if not tfrecord.native_available():
+        pytest.skip("native lib not built")
+    lib = tfrecord._load_native()
+    for data in (b"", b"123456789", os.urandom(1000)):
+        assert lib.tfrec_crc32c(data, len(data)) == tfrecord.crc32c(data)
+
+
+def test_corrupt_record_rejected(tmp_path):
+    path = str(tmp_path / "t.tfrec")
+    with tfrecord.TFRecordWriter(path) as w:
+        w.write(b"hello world")
+    raw = bytearray(open(path, "rb").read())
+    raw[14] ^= 0xFF  # flip a data byte
+    open(path, "wb").write(bytes(raw))
+    if tfrecord.native_available():
+        with pytest.raises(IOError):
+            tfrecord.TFRecordReader(path)
+    else:
+        with pytest.raises(IOError):
+            list(tfrecord._iter_records_python(path, verify_crc=True))
+
+
+def test_shard_filename_convention(tmp_path):
+    d = str(tmp_path / "train")
+    name = tfrecord.shard_filename(d, 3, 2048)
+    assert os.path.basename(name) == "file_train_03-2048.tfrec"
+    assert tfrecord.count_examples_from_filenames(
+        [name, tfrecord.shard_filename(d, 4, 100)]) == 2148
+
+
+# ---------------------------------------------------------------------------
+# TF oracle round-trips
+# ---------------------------------------------------------------------------
+
+def _tf():
+    return pytest.importorskip("tensorflow")
+
+
+def test_our_writer_readable_by_tf(tmp_path):
+    tf = _tf()
+    path = str(tmp_path / "ours.tfrec")
+    feats = sample_features()
+    with tfrecord.TFRecordWriter(path) as w:
+        w.write(example_codec.encode_example(feats))
+
+    ds = tf.data.TFRecordDataset([path])
+    raw = next(iter(ds))
+    desc = {
+        "ann_id": tf.io.FixedLenFeature([], tf.int64),
+        "image": tf.io.FixedLenFeature([], tf.string),
+        "keypoints/x": tf.io.VarLenFeature(tf.float32),
+        "keypoints/vis": tf.io.VarLenFeature(tf.int64),
+        "bbox_x": tf.io.FixedLenFeature([], tf.float32),
+    }
+    ex = tf.io.parse_single_example(raw, desc)
+    assert int(ex["ann_id"]) == 12345
+    assert bytes(ex["image"].numpy()) == feats["image"][0]
+    np.testing.assert_allclose(
+        tf.sparse.to_dense(ex["keypoints/x"]).numpy(), [1.5, 0.0, 63.25])
+    assert tf.sparse.to_dense(ex["keypoints/vis"]).numpy().tolist() == [2, 0, 1]
+    assert float(ex["bbox_x"]) == -3.5
+
+
+def test_tf_writer_readable_by_us(tmp_path):
+    tf = _tf()
+    path = str(tmp_path / "tf.tfrec")
+    feats = sample_features()
+
+    def bl(v): return tf.train.Feature(bytes_list=tf.train.BytesList(value=v))
+    def fl(v): return tf.train.Feature(float_list=tf.train.FloatList(value=v))
+    def il(v): return tf.train.Feature(int64_list=tf.train.Int64List(value=v))
+
+    ex = tf.train.Example(features=tf.train.Features(feature={
+        "ann_id": il(feats["ann_id"]),
+        "image": bl(feats["image"]),
+        "keypoints/x": fl(feats["keypoints/x"]),
+        "keypoints/vis": il(feats["keypoints/vis"]),
+        "bbox_x": fl(feats["bbox_x"]),
+    }))
+    with tf.io.TFRecordWriter(path) as w:
+        w.write(ex.SerializeToString())
+
+    records = list(tfrecord.iter_records(path))
+    assert len(records) == 1
+    out = example_codec.decode_example(records[0])
+    assert out["ann_id"] == [12345]
+    assert out["image"] == [feats["image"][0]]
+    np.testing.assert_allclose(out["keypoints/x"], feats["keypoints/x"])
+    assert out["keypoints/vis"] == feats["keypoints/vis"]
+    np.testing.assert_allclose(out["bbox_x"], feats["bbox_x"])
