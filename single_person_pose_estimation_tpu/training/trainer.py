@@ -1,0 +1,213 @@
+"""Trainer: epoch loop, validation, checkpointing, resume.
+
+Public API mirrors the reference Trainer (trainer.py:19-245):
+``Trainer(model, ds_builder, epochs, learning_rate, loss_str, config)``,
+``.train()``, ``.resume_training()``, ``.get_best_weights_model()``,
+``.get_latest_weights_model()`` — with the TPU-native internals from
+training/steps.py (one fused jitted step, optional data-parallel mesh)
+and training/checkpoint.py (full-state Orbax checkpoints: unlike the
+reference, optimizer state and the data-order PRNG survive resume).
+
+Epoch accounting matches the reference: steps_per_epoch =
+num_train // batch, valid_steps = num_valid // batch (trainer.py:23-24,
+whose math.ceil around an integer floor-division is just floor). The
+best-val-loss checkpoint promotion semantics of trainer.py:143-170 are
+kept, via checkpoint metadata instead of file renames.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import date, timedelta
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from single_person_pose_estimation_tpu import losses as losses_lib
+from single_person_pose_estimation_tpu.configs.default_config import Config
+from single_person_pose_estimation_tpu.parallel import mesh as mesh_lib
+from single_person_pose_estimation_tpu.training import metrics as metrics_lib
+from single_person_pose_estimation_tpu.training import steps as steps_lib
+from single_person_pose_estimation_tpu.training.checkpoint import CheckpointManager
+
+
+def _mean_metrics(collected) -> Dict[str, float]:
+    """Average a list of on-device metric dicts with ONE host transfer per
+    key (stack on device, then device_get)."""
+    stacked = {k: np.asarray(jax.device_get(
+        jax.numpy.stack([m[k] for m in collected]))).mean()
+        for k in collected[0]}
+    return {k: float(v) for k, v in stacked.items()}
+
+
+class Trainer:
+    def __init__(self, model, ds_builder, epochs: int, learning_rate: float,
+                 loss_str: str, config: Config,
+                 mesh: Optional[Mesh] = None, augment: bool = True):
+        self.model = model
+        self.config = config
+        self.epochs = epochs
+        self.learning_rate = learning_rate
+        self.loss_fn = losses_lib.get_loss_from_string(loss_str)
+        self.loss_str = loss_str
+        self.mesh = mesh
+        self.ds_builder = ds_builder
+        self.ds_train, self.ds_valid = ds_builder.build_datasets()
+        self.steps_per_epoch = max(1, ds_builder.num_train_examples
+                                   // config.batch_size)
+        self.valid_steps = max(1, ds_builder.num_valid_examples
+                               // config.batch_size)
+        self.batch_size = config.batch_size
+
+        self.tx = steps_lib.make_optimizer(learning_rate)
+        self.state = steps_lib.TrainState.create(
+            model, self.tx, jax.random.PRNGKey(config.seed),
+            input_shape=(1, config.image_height, config.image_width, 3))
+        if mesh is not None:
+            self.state = jax.device_put(self.state, mesh_lib.replicated(mesh))
+        self.train_step = steps_lib.make_train_step(
+            model, self.tx, self.loss_fn, config, mesh=mesh, augment=augment)
+        self.eval_step = steps_lib.make_eval_step(
+            model, self.loss_fn, config, mesh=mesh)
+
+        self.ckpt = CheckpointManager(
+            config.checkpoints_path,
+            async_checkpointing=config.async_checkpointing)
+        self.logger = metrics_lib.HistoryLogger(config.logs_path)
+        self.num_stacks = model.num_stacks
+
+    # ------------------------------------------------------------------
+
+    def _put_batch(self, batch):
+        if self.mesh is not None:
+            batch, _ = mesh_lib.pad_batch_to_devices(
+                batch, int(np.prod(self.mesh.devices.shape)))
+            return mesh_lib.shard_batch(batch, self.mesh)
+        return batch
+
+    def _run_epoch(self, epoch: int) -> Dict[str, float]:
+        collected = []
+        t0 = time.time()
+        n_images = 0
+        for _ in range(self.steps_per_epoch):
+            batch = self._put_batch(next(self.ds_train))
+            n_images += batch["image"].shape[0]
+            self.state, m = self.train_step(self.state, batch)
+            collected.append(m)
+        train_metrics = _mean_metrics(collected)  # forces device sync
+        dt = time.time() - t0
+        train_metrics["_step_time_s"] = dt / self.steps_per_epoch
+        train_metrics["_images_per_sec"] = n_images / dt
+        return train_metrics
+
+    def _run_validation(self) -> Dict[str, float]:
+        collected = []
+        for _ in range(self.valid_steps):
+            batch = self._put_batch(next(self.ds_valid))
+            collected.append(self.eval_step(self.state, batch))
+        return _mean_metrics(collected)
+
+    def _fit(self, initial_epoch: int, final_epoch: int) -> None:
+        for epoch in range(initial_epoch, final_epoch):
+            train_m = self._run_epoch(epoch)
+            val_m = self._run_validation()
+            row = metrics_lib.stack_metric_columns(train_m, val_m,
+                                                   self.num_stacks)
+            self.logger.log_epoch(
+                epoch + 1, row,
+                step_time_s=train_m["_step_time_s"],
+                images_per_sec=train_m["_images_per_sec"])
+            # PrintLR parity (callbacks.py:11-13) + Keras-style epoch line.
+            print(f"Epoch {epoch + 1}/{final_epoch} - "
+                  f"loss: {row['loss']:.4f} - val_loss: {row['val_loss']:.4f}"
+                  f" - lr: {self.learning_rate} - "
+                  f"{train_m['_images_per_sec']:.1f} img/s")
+            meta = {"epoch": epoch + 1, "loss_str": self.loss_str,
+                    "learning_rate": self.learning_rate}
+            if (epoch + 1) % self.config.checkpoint_every_epochs == 0 \
+                    or epoch + 1 == final_epoch:
+                self.ckpt.save(epoch + 1, self.state, meta)
+            self.ckpt.maybe_promote_best(row["val_loss"], self.state, meta)
+
+    # ------------------------------------------------------------------
+
+    def train(self) -> None:
+        """First training session (reference train(), trainer.py:34-71)."""
+        today = date.today().strftime("%d-%m-%Y")
+        print(f"First training with:\n"
+              f"  1. Current date {today}.\n"
+              f"  2. Number of epochs {self.epochs}.\n"
+              f"  3. Batch size {self.batch_size}.\n"
+              f"  4. Loss {self.loss_str}, Adam lr {self.learning_rate}.")
+        start = time.time()
+        self._fit(0, self.epochs)
+        self.ckpt.wait()
+        self.logger.write_session_csv(self.epochs, self.learning_rate)
+        print("-" * 57)
+        print(f"Finished training!!\n"
+              f"  Total training time "
+              f"{timedelta(seconds=time.time() - start)}\n"
+              f"  Checkpoints at {self.config.checkpoints_path}\n"
+              f"  Logs at {self.config.logs_path}")
+
+    def resume_training(self) -> None:
+        """Resume from the latest checkpoint; afterwards promote the best
+        checkpoint if this session improved val_loss (reference
+        resume_training(), trainer.py:73-178). Restores the FULL state —
+        params, BN stats, optimizer moments, PRNG — then applies the
+        (possibly new) learning rate."""
+        prev_epoch = self.ckpt.latest_epoch()
+        if prev_epoch is None:
+            raise FileNotFoundError(
+                f"no checkpoint to resume in {self.config.checkpoints_path}")
+        print(f"Loading state from epoch {prev_epoch}")
+        self.state, meta = self.ckpt.restore(self.state)
+
+        # Replay history (reference trainer.py:97-114).
+        rows = metrics_lib.read_all_session_logs(self.config.logs_path)
+        if rows:
+            last = rows[-1]
+            print("-" * 57)
+            print(f"- Result from last session at epoch {prev_epoch}:")
+            for k, v in last.items():
+                print(f"  {k}: {v}")
+            best, best_epoch = metrics_lib.best_val_loss(rows)
+            print(f"- Best val_loss so far {best} at epoch {best_epoch}")
+            print("-" * 57)
+
+        total_epochs = self.epochs + prev_epoch
+        print(f"Resume training for {self.epochs} epochs, "
+              f"from epoch {prev_epoch} to epoch {total_epochs}.")
+        start = time.time()
+        self._fit(prev_epoch, total_epochs)
+        self.ckpt.wait()
+        self.logger.write_session_csv(total_epochs, self.learning_rate)
+        self.epochs = total_epochs
+        print(f"Finished training!! Total time "
+              f"{timedelta(seconds=time.time() - start)}")
+
+    # ------------------------------------------------------------------
+
+    def get_best_weights_model(self):
+        """Restore the best-val-loss state (reference trainer.py:181-191).
+        Returns (model, state)."""
+        self.state, _ = self.ckpt.restore_best(self.state)
+        return self.model, self.state
+
+    def get_latest_weights_model(self):
+        """Restore the most recent checkpoint (reference trainer.py:193-201)."""
+        self.state, _ = self.ckpt.restore(self.state)
+        return self.model, self.state
+
+    # API-parity alias for the reference's spelling (trainer.py:193).
+    get_lattest_weights_model = get_latest_weights_model
+
+    @staticmethod
+    def get_loss_from_string(loss_str: str):
+        return losses_lib.get_loss_from_string(loss_str)
+
+    def close(self) -> None:
+        self.ckpt.close()
+        self.logger.close()

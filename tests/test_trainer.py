@@ -1,0 +1,130 @@
+"""Trainer tests on a synthetic mini-dataset: train, checkpoint layout,
+resume with full state (incl. optimizer moments), best-val promotion,
+history CSV format."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from single_person_pose_estimation_tpu.configs.default_config import Config
+from single_person_pose_estimation_tpu.data import coco, pipeline
+from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
+from single_person_pose_estimation_tpu.training import metrics as metrics_lib
+from single_person_pose_estimation_tpu.training import steps as steps_lib
+from single_person_pose_estimation_tpu.training.checkpoint import CheckpointManager
+from single_person_pose_estimation_tpu.training.trainer import Trainer
+
+from test_data import make_synthetic_coco
+
+
+@pytest.fixture
+def mini(tmp_path):
+    root = str(tmp_path / "dataset")
+    make_synthetic_coco(root, "train2017", n_images=3, people_per=2)
+    make_synthetic_coco(root, "val2017", n_images=2, people_per=1)
+    cfg = Config().replace(
+        dataset_dir=root,
+        temporary_dir=str(tmp_path / "temp"),
+        batch_size=2, num_examples_per_record=5, shuffle_buffer=8,
+        hg_num_stacks=2, hg_num_channels=16,
+        image_height=64, image_width=64, label_height=16, label_width=16,
+        async_checkpointing=False,
+    )
+    coco.gen_trainval_records(cfg)
+    return cfg
+
+
+def make_trainer(cfg, epochs=2, lr=1e-3):
+    model = StackedHourglass(num_stacks=cfg.hg_num_stacks,
+                             num_channels=cfg.hg_num_channels)
+    builder = pipeline.DatasetBuilder(cfg)
+    return Trainer(model, builder, epochs, lr, "mse", cfg, augment=False)
+
+
+def test_train_writes_logs_and_checkpoints(mini):
+    t = make_trainer(mini, epochs=2)
+    t.train()
+    # History CSV with reference column names.
+    csv_path = os.path.join(mini.logs_path, "log_E2_lr0.001.csv")
+    assert os.path.exists(csv_path)
+    rows = metrics_lib.read_all_session_logs(mini.logs_path)
+    assert len(rows) == 2
+    for col in ("loss", "hg0_conv_1x1_predict_loss",
+                "hg1_conv_1x1_predict_loss", "val_loss",
+                "val_hg0_conv_1x1_predict_loss"):
+        assert col in rows[0]
+    # JSONL stream with throughput.
+    assert os.path.exists(os.path.join(mini.logs_path, "metrics.jsonl"))
+    # Checkpoints: latest has epoch 2, best exists.
+    assert t.ckpt.latest_epoch() == 2
+    assert t.ckpt.best_meta() is not None
+    assert "val_loss" in t.ckpt.best_meta()
+    t.close()
+
+
+def test_resume_restores_full_state(mini):
+    t1 = make_trainer(mini, epochs=1)
+    t1.train()
+    state_after = jax.device_get(t1.state)
+    t1.close()
+
+    t2 = make_trainer(mini, epochs=1)
+    prev = t2.ckpt.latest_epoch()
+    assert prev == 1
+    restored, meta = t2.ckpt.restore(t2.state)
+    # Params AND optimizer moments AND rng match the saved state exactly.
+    for a, b in zip(jax.tree.leaves(state_after), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert meta["epoch"] == 1
+    t2.close()
+
+
+def test_resume_training_continues_epochs(mini):
+    t1 = make_trainer(mini, epochs=1)
+    t1.train()
+    t1.close()
+
+    t2 = make_trainer(mini, epochs=2)   # 2 MORE epochs
+    t2.resume_training()
+    assert t2.ckpt.latest_epoch() == 3
+    rows = metrics_lib.read_all_session_logs(mini.logs_path)
+    assert len(rows) == 3               # 1 + 2 epochs across sessions
+    t2.close()
+
+
+def test_best_promotion_keeps_lowest_val_loss(mini):
+    model = StackedHourglass(num_stacks=2, num_channels=16)
+    tx = steps_lib.make_optimizer(1e-3)
+    state = steps_lib.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                        input_shape=(1, 64, 64, 3))
+    mgr = CheckpointManager(os.path.join(mini.temporary_dir, "cp2"),
+                            async_checkpointing=False)
+    assert mgr.maybe_promote_best(1.0, state, {"epoch": 1})
+    assert not mgr.maybe_promote_best(2.0, state, {"epoch": 2})  # worse
+    assert mgr.best_meta()["val_loss"] == 1.0
+    assert mgr.maybe_promote_best(0.5, state, {"epoch": 3})      # better
+    assert mgr.best_meta()["val_loss"] == 0.5
+    assert mgr.best_meta()["epoch"] == 3
+    mgr.close()
+
+
+def test_get_best_and_latest_models(mini):
+    t = make_trainer(mini, epochs=2)
+    t.train()
+    model, state = t.get_best_weights_model()
+    assert int(state.step) > 0
+    model, state = t.get_latest_weights_model()
+    assert int(state.step) == 2 * t.steps_per_epoch
+    # API-parity alias (reference's spelling, trainer.py:193).
+    assert hasattr(t, "get_lattest_weights_model")
+    t.close()
+
+
+def test_loss_decreases_over_training(mini):
+    t = make_trainer(mini, epochs=4, lr=1e-2)
+    t.train()
+    rows = metrics_lib.read_all_session_logs(mini.logs_path)
+    assert rows[-1]["loss"] < rows[0]["loss"]
+    t.close()
