@@ -1,0 +1,98 @@
+"""Batched prediction over the validation split for OKS/PCK evaluation.
+
+Reference predict_ds (eval.py:99-146) runs model.predict per batch then
+decodes each example's heatmaps in a Python loop over 5647 x 17 channels on
+the host. Here both the forward pass (last stack only, eval.py:108) and the
+argmax+offset decode run in ONE jitted program on device; the host merely
+un-crops the resulting keypoints into original-image coordinates
+(_undo_bbox, eval.py:153-158) and assembles the JSON records.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from single_person_pose_estimation_tpu.ops.decode import _decode_v2, decode_v1
+
+
+def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
+                           legacy: bool = True, version: int = 2):
+    """Jitted (params, batch_stats, images) -> (B, K, 3) keypoints in
+    heatmap pixel units, fusing forward + decode on device."""
+
+    @jax.jit
+    def fn(params, batch_stats, images):
+        hms = model.apply({"params": params, "batch_stats": batch_stats},
+                          images, train=False)[-1]
+        if version == 1:
+            dec = partial(decode_v1, conf_threshold=conf_threshold)
+        else:
+            dec = partial(_decode_v2, conf_threshold=conf_threshold,
+                          legacy=legacy)
+        return jax.vmap(dec)(hms)
+
+    return fn
+
+
+def predict_ds(
+    model,
+    state,
+    ds_prediction,
+    conf_threshold: float = 1e-6,
+    legacy_decode: bool = True,
+    decode_version: int = 2,
+    save_path: Optional[str] = "result.json",
+) -> List[dict]:
+    """Iterate the prediction dataset; return the reference's prediction
+    records (eval.py:110-141): per example the un-cropped predicted and GT
+    keypoints, visibilities, confidences, ids, original bbox.
+
+    `ds_prediction` yields (images [B, H, W, 3], metas list) — see
+    DatasetBuilder.get_ds_prediction. Keypoints are normalized by the
+    heatmap size then mapped through the stored square crop box.
+    """
+    fn = make_predict_decode_fn(model, conf_threshold, legacy_decode,
+                                decode_version)
+    predictions: List[dict] = []
+    for images, metas in ds_prediction:
+        kps = np.asarray(fn(state.params, state.batch_stats,
+                            jnp.asarray(images)))
+        hm_h = hm_w = None
+        # decode returns heatmap-space coords; normalize by heatmap dims.
+        # The model's label resolution is images/4 by construction.
+        hm_h = images.shape[1] // 4
+        hm_w = images.shape[2] // 4
+        for j, meta in enumerate(metas):
+            xs_pred = kps[j, :, 0] / hm_w
+            ys_pred = kps[j, :, 1] / hm_h
+            confs = kps[j, :, 2]
+            bw = int(meta["bbox_w"])
+            bh = int(meta["bbox_h"])
+            bx = float(meta["bbox_x"])
+            by = float(meta["bbox_y"])
+            xs_gt = np.asarray(meta["keypoints/x"], np.float64) / bw
+            ys_gt = np.asarray(meta["keypoints/y"], np.float64) / bh
+
+            predictions.append({
+                "xs/pred": (xs_pred * bw + bx).astype(float).tolist(),
+                "ys/pred": (ys_pred * bh + by).astype(float).tolist(),
+                "xs/gt": (xs_gt * bw + bx).astype(float).tolist(),
+                "ys/gt": (ys_gt * bh + by).astype(float).tolist(),
+                "vs": np.asarray(meta["keypoints/vis"]).astype(int).tolist(),
+                "confs": confs.astype(float).tolist(),
+                "image_id": int(meta["image_id"]),
+                "ann_id": int(meta["ann_id"]),
+                "original_bbox": np.asarray(
+                    meta["original_bbox"]).astype(float).tolist(),
+            })
+
+    if save_path:
+        with open(save_path, "w") as f:
+            json.dump(predictions, f)
+    return predictions

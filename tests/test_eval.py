@@ -1,0 +1,214 @@
+"""Evaluation tests: OKS formula, COCOeval-protocol matching/accumulation
+hand cases, PCK, and predict_ds record structure/coordinate mapping."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from single_person_pose_estimation_tpu.configs.default_config import (
+    COCO_KEYPOINT_LABELS,
+    Config,
+)
+from single_person_pose_estimation_tpu.evaluation import oks as oks_lib
+from single_person_pose_estimation_tpu.evaluation.pck import eval_pck
+
+
+def gt_person(image_id, ann_id, kps_xy, area=10000.0, bbox=(0, 0, 100, 100),
+              num_vis=None):
+    """GT annotation with keypoints at kps_xy (list of (x, y))."""
+    kps = []
+    for x, y in kps_xy:
+        kps += [x, y, 2]
+    n = num_vis if num_vis is not None else len(kps_xy)
+    return {"id": ann_id, "image_id": image_id, "category_id": 1,
+            "iscrowd": 0, "area": area, "bbox": list(bbox),
+            "num_keypoints": n, "keypoints": kps}
+
+
+def det(image_id, kps_xy, score=1.0):
+    kps = []
+    for x, y in kps_xy:
+        kps += [x, y, 1]
+    return {"image_id": image_id, "category_id": 1, "keypoints": kps,
+            "score": score}
+
+
+def grid17(ox=10, oy=10):
+    return [(ox + 5 * (k % 5), oy + 8 * (k // 5)) for k in range(17)]
+
+
+def test_oks_formula_single_keypoint():
+    """OKS of a single labeled keypoint displaced by d:
+    exp(-d^2 / (2 * area * (2 sigma)^2))."""
+    area = 2500.0
+    gt = gt_person(1, 1, [(50, 50)], area=area)
+    # pad to 17 keypoints: only first labeled
+    gt["keypoints"] = [50, 50, 2] + [0, 0, 0] * 16
+    gt["num_keypoints"] = 1
+    d = 10.0
+    dt = det(1, [(50 + d, 50)] + [(0, 0)] * 16)
+    ious = oks_lib.compute_oks_matrix([dt], [gt])
+    var = (2 * oks_lib.KPT_OKS_SIGMAS[0]) ** 2
+    want = np.exp(-d * d / var / (area + np.spacing(1)) / 2)
+    assert ious[0, 0] == pytest.approx(want, rel=1e-9)
+
+
+def test_oks_perfect_is_one():
+    kps = grid17()
+    gt = gt_person(1, 1, kps)
+    dt = det(1, kps)
+    assert oks_lib.compute_oks_matrix([dt], [gt])[0, 0] == pytest.approx(1.0)
+
+
+def test_perfect_predictions_ap1():
+    kps = grid17()
+    annotations = {"images": [], "annotations": [gt_person(1, 1, kps),
+                                                 gt_person(2, 2, kps)]}
+    dets = [det(1, kps), det(2, kps)]
+    ev = oks_lib.KeypointEval(annotations, dets, image_ids=[1, 2])
+    stats = ev.evaluate()
+    assert stats[0] == pytest.approx(1.0)   # AP
+    assert stats[5] == pytest.approx(1.0)   # AR
+
+
+def test_wrong_predictions_ap0():
+    kps = grid17()
+    wrong = [(x + 500, y + 500) for x, y in kps]
+    annotations = {"images": [], "annotations": [gt_person(1, 1, kps)]}
+    ev = oks_lib.KeypointEval(annotations, [det(1, wrong)], image_ids=[1])
+    stats = ev.evaluate()
+    assert stats[0] == pytest.approx(0.0)
+    assert stats[5] == pytest.approx(0.0)
+
+
+def test_half_correct_ap():
+    """One perfect detection (score .9), one totally wrong (score .8):
+    interpolated AP = 51/101 (precision 1 up to recall 0.5, then 0)."""
+    kps = grid17()
+    wrong = [(x + 500, y + 500) for x, y in kps]
+    annotations = {"images": [], "annotations": [gt_person(1, 1, kps),
+                                                 gt_person(2, 2, kps)]}
+    dets = [det(1, kps, score=0.9), det(2, wrong, score=0.8)]
+    ev = oks_lib.KeypointEval(annotations, dets, image_ids=[1, 2])
+    stats = ev.evaluate()
+    assert stats[0] == pytest.approx(51 / 101)
+    assert stats[5] == pytest.approx(0.5)
+
+
+def test_unlabeled_gt_is_ignored():
+    """GT with num_keypoints == 0 must not count as a miss."""
+    kps = grid17()
+    g2 = gt_person(1, 2, [(0, 0)] * 17, num_vis=0)
+    g2["keypoints"] = [0, 0, 0] * 17
+    annotations = {"images": [], "annotations": [gt_person(1, 1, kps), g2]}
+    ev = oks_lib.KeypointEval(annotations, [det(1, kps)], image_ids=[1])
+    stats = ev.evaluate()
+    assert stats[0] == pytest.approx(1.0)
+
+
+def test_area_ranges():
+    """A medium-area person counts in 'medium' AP but not 'large'."""
+    kps = grid17()
+    med_area = 50 * 50          # within [32^2, 96^2]
+    annotations = {"images": [], "annotations": [
+        gt_person(1, 1, kps, area=med_area)]}
+    ev = oks_lib.KeypointEval(annotations, [det(1, kps)], image_ids=[1])
+    stats = ev.evaluate()
+    assert stats[3] == pytest.approx(1.0)    # AP medium
+    assert stats[4] == -1.0                  # AP large: no GT -> -1
+
+
+def test_eval_oks_entry_point(tmp_path):
+    """eval_oks consumes predict_ds-format records and a GT json path."""
+    kps = grid17()
+    gt_path = str(tmp_path / "gt.json")
+    with open(gt_path, "w") as f:
+        json.dump({"images": [], "annotations": [gt_person(7, 1, kps)]}, f)
+    preds = [{
+        "image_id": 7, "ann_id": 1,
+        "xs/pred": [x for x, _ in kps], "ys/pred": [y for _, y in kps],
+        "confs": [0.9] * 17,
+    }]
+    stats = oks_lib.eval_oks(preds, gt_path, verbose=False)
+    assert stats[0] == pytest.approx(1.0)
+
+
+def test_summarize_format():
+    s = oks_lib.KeypointEval.summarize(np.linspace(0, 0.9, 10))
+    assert "Average Precision" in s and "Average Recall" in s
+    assert s.count("\n") == 9
+
+
+# ---------------------------------------------------------------------------
+# PCK
+# ---------------------------------------------------------------------------
+
+def test_pck_hand_case():
+    # bbox diag = sqrt(300^2+400^2) = 500 -> threshold 25 at pck=0.05
+    preds = [{
+        "xs/pred": [10.0, 100.0], "ys/pred": [10.0, 100.0],
+        "xs/gt": [10.0, 60.0], "ys/gt": [10.0, 100.0],
+        "vs": [2, 2], "original_bbox": [0, 0, 300, 400],
+    }]
+    stats = eval_pck(preds, ["a", "b"], pck_threshold=0.05, verbose=False)
+    assert stats[0] == 1.0       # exact hit
+    assert stats[1] == 0.0       # 40 px off > 25 threshold
+
+
+def test_pck_ignores_invisible():
+    preds = [{
+        "xs/pred": [999.0], "ys/pred": [999.0],
+        "xs/gt": [10.0], "ys/gt": [10.0],
+        "vs": [0], "original_bbox": [0, 0, 300, 400],
+    }]
+    stats = eval_pck(preds, ["a"], verbose=False)
+    assert stats[0] == 0.0       # no visible instances -> 0, not crash
+
+
+# ---------------------------------------------------------------------------
+# predict_ds end-to-end on the synthetic dataset
+# ---------------------------------------------------------------------------
+
+def test_predict_ds_records(tmp_path):
+    import jax
+    from single_person_pose_estimation_tpu.data import coco, pipeline
+    from single_person_pose_estimation_tpu.evaluation.predict import predict_ds
+    from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
+    from single_person_pose_estimation_tpu.training import steps as steps_lib
+    from test_data import make_synthetic_coco
+
+    root = str(tmp_path / "dataset")
+    make_synthetic_coco(root, "train2017", n_images=1, people_per=1)
+    make_synthetic_coco(root, "val2017", n_images=2, people_per=1)
+    cfg = Config().replace(dataset_dir=root, batch_size=2,
+                           num_examples_per_record=5,
+                           image_height=64, image_width=64,
+                           label_height=16, label_width=16)
+    coco.gen_trainval_records(cfg)
+    builder = pipeline.DatasetBuilder(cfg)
+
+    model = StackedHourglass(num_stacks=1, num_channels=16)
+    tx = steps_lib.make_optimizer(1e-3)
+    state = steps_lib.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                        input_shape=(1, 64, 64, 3))
+    save = str(tmp_path / "result.json")
+    preds = predict_ds(model, state, builder.get_ds_prediction(),
+                       conf_threshold=0.1, save_path=save)
+    assert len(preds) == 2
+    assert os.path.exists(save)
+    p = preds[0]
+    for key in ("xs/pred", "ys/pred", "xs/gt", "ys/gt", "vs", "confs",
+                "image_id", "ann_id", "original_bbox"):
+        assert key in p
+    assert len(p["xs/pred"]) == 17
+
+    # GT un-cropping: crop-frame keypoint + bbox origin == original image
+    # coords. Synthetic keypoints were at bbox + offsets; check visible ones.
+    ann = json.load(open(cfg.valid_annot_file))["annotations"][0]
+    xs_orig = ann["keypoints"][0::3]
+    vs = p["vs"]
+    for k in range(17):
+        if vs[k] > 0:
+            assert p["xs/gt"][k] == pytest.approx(xs_orig[k], abs=1e-4)
