@@ -1,0 +1,170 @@
+"""Command-line entry points.
+
+The reference has no CLI — every workflow is a notebook (README.md:14:
+"argparse has not been supported yet"; Train.ipynb / evaluation.ipynb /
+demo.ipynb / gen_tfrecords.ipynb are the entry points, SURVEY.md C16).
+This module provides the equivalent operations as subcommands:
+
+    python -m single_person_pose_estimation_tpu.cli gen-records [...]
+    python -m single_person_pose_estimation_tpu.cli train [...]
+    python -m single_person_pose_estimation_tpu.cli resume [...]
+    python -m single_person_pose_estimation_tpu.cli eval [...]
+    python -m single_person_pose_estimation_tpu.cli bench [...]
+
+Any Config field can be overridden with --set field=value.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from single_person_pose_estimation_tpu.configs.default_config import Config
+
+
+def _apply_overrides(cfg: Config, overrides) -> Config:
+    for item in overrides or []:
+        key, _, value = item.partition("=")
+        if not hasattr(cfg, key):
+            raise SystemExit(f"unknown config field: {key}")
+        current = getattr(cfg, key)
+        if isinstance(current, bool):
+            parsed = value.lower() in ("1", "true", "yes")
+        elif isinstance(current, int):
+            parsed = int(value)
+        elif isinstance(current, float):
+            parsed = float(value)
+        else:
+            parsed = value
+        cfg = cfg.replace(**{key: parsed})
+    return cfg
+
+
+def _build_model(cfg: Config):
+    from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
+    import jax.numpy as jnp
+
+    return StackedHourglass(
+        num_classes=cfg.num_keypoints,
+        num_stacks=cfg.hg_num_stacks,
+        num_channels=cfg.hg_num_channels,
+        predict_activation=cfg.hm_activation,
+        mobile=cfg.mobile,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+        else jnp.float32,
+    )
+
+
+def cmd_gen_records(args, cfg: Config):
+    from single_person_pose_estimation_tpu.data import coco
+
+    coco.gen_trainval_records(cfg, drop_min_num_kps=not args.keep_sparse)
+
+
+def _make_trainer(args, cfg: Config):
+    from single_person_pose_estimation_tpu.data.pipeline import DatasetBuilder
+    from single_person_pose_estimation_tpu.parallel import mesh as mesh_lib
+    from single_person_pose_estimation_tpu.training.trainer import Trainer
+    import jax
+
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        mesh = mesh_lib.create_mesh((-1,), ("data",))
+    model = _build_model(cfg)
+    builder = DatasetBuilder(cfg, ratio=args.ratio)
+    return Trainer(model, builder, args.epochs, args.lr, args.loss, cfg,
+                   mesh=mesh)
+
+
+def cmd_train(args, cfg: Config):
+    trainer = _make_trainer(args, cfg)
+    trainer.train()
+    trainer.close()
+
+
+def cmd_resume(args, cfg: Config):
+    trainer = _make_trainer(args, cfg)
+    trainer.resume_training()
+    trainer.close()
+
+
+def cmd_eval(args, cfg: Config):
+    from single_person_pose_estimation_tpu.configs.default_config import (
+        COCO_KEYPOINT_LABELS,
+    )
+    from single_person_pose_estimation_tpu.data.pipeline import DatasetBuilder
+    from single_person_pose_estimation_tpu.evaluation.oks import eval_oks
+    from single_person_pose_estimation_tpu.evaluation.pck import eval_pck
+    from single_person_pose_estimation_tpu.evaluation.predict import predict_ds
+    from single_person_pose_estimation_tpu.utils.model_utils import (
+        load_model_from_checkpoint,
+    )
+
+    model = _build_model(cfg)
+    state, meta = load_model_from_checkpoint(
+        model, cfg.checkpoints_path, best=not args.latest,
+        input_shape=(1, cfg.image_height, cfg.image_width, 3))
+    print(f"Loaded checkpoint meta: {meta}")
+    builder = DatasetBuilder(cfg, ratio=args.ratio)
+    preds = predict_ds(model, state, builder.get_ds_prediction(),
+                       conf_threshold=args.conf_threshold,
+                       legacy_decode=cfg.legacy_decode,
+                       save_path=args.save_path)
+    print(f"{len(preds)} predictions -> {args.save_path}")
+    if args.gt:
+        stats = eval_oks(preds, args.gt)
+        print("OKS stats:", [round(float(s), 3) for s in stats])
+    eval_pck(preds, COCO_KEYPOINT_LABELS, pck_threshold=args.pck_threshold)
+
+
+def cmd_bench(args, cfg: Config):
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="single_person_pose_estimation_tpu")
+    p.add_argument("--set", action="append", dest="overrides", default=[],
+                   metavar="FIELD=VALUE", help="override a Config field")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-records", help="COCO json -> record shards ETL")
+    g.add_argument("--keep-sparse", action="store_true",
+                   help="keep people with < MIN_NUM_KEYPOINTS keypoints")
+    g.set_defaults(fn=cmd_gen_records)
+
+    for name, fn in (("train", cmd_train), ("resume", cmd_resume)):
+        t = sub.add_parser(name)
+        t.add_argument("--epochs", type=int, default=10)
+        t.add_argument("--lr", type=float, default=1e-3)
+        t.add_argument("--loss", default="iou",
+                       choices=["mse", "weighted_mse", "iou",
+                                "weighted_keypoint_mse"])
+        t.add_argument("--ratio", type=float, default=1.0)
+        t.add_argument("--data-parallel", action="store_true", default=True)
+        t.set_defaults(fn=fn)
+
+    e = sub.add_parser("eval")
+    e.add_argument("--gt", default=None,
+                   help="COCO GT json for OKS (default: PCK only)")
+    e.add_argument("--conf-threshold", type=float, default=0.1)
+    e.add_argument("--pck-threshold", type=float, default=0.05)
+    e.add_argument("--ratio", type=float, default=1.0)
+    e.add_argument("--latest", action="store_true",
+                   help="evaluate the latest instead of the best checkpoint")
+    e.add_argument("--save-path", default="result.json")
+    e.set_defaults(fn=cmd_eval)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    cfg = _apply_overrides(Config(), args.overrides)
+    args.fn(args, cfg)
+
+
+if __name__ == "__main__":
+    main()
