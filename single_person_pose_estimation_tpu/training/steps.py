@@ -78,6 +78,8 @@ def make_train_step(
     config: Config,
     mesh: Optional[Mesh] = None,
     augment: bool = True,
+    model_axis: Optional[str] = None,
+    example_state: Optional["TrainState"] = None,
 ):
     """Build the jitted train step.
 
@@ -126,10 +128,24 @@ def make_train_step(
     if mesh is not None:
         repl = mesh_lib.replicated(mesh)
         data = mesh_lib.batch_sharding(mesh)
+        if model_axis is not None:
+            # Tensor-parallel state shardings need the concrete state tree.
+            from single_person_pose_estimation_tpu.parallel import (
+                sharding_rules,
+            )
+            if example_state is None:
+                raise ValueError(
+                    "model_axis sharding requires example_state to derive "
+                    "the per-leaf PartitionSpecs")
+            state_sh = sharding_rules.state_shardings(example_state, mesh,
+                                                      model_axis)
+        else:
+            state_sh = jax.tree.map(lambda _: repl, example_state) \
+                if example_state is not None else repl
         return jax.jit(
             step,
-            in_shardings=(repl, data),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, data),
+            out_shardings=(state_sh, repl),
             donate_argnums=(0,),
         )
     return jax.jit(step, donate_argnums=(0,))
@@ -140,6 +156,8 @@ def make_eval_step(
     loss_fn: Callable,
     config: Config,
     mesh: Optional[Mesh] = None,
+    model_axis: Optional[str] = None,
+    example_state: Optional["TrainState"] = None,
 ):
     """Validation step: heatmap render (no augmentation, reference
     make_valid_label semantics — dataset_builder.py:82-86), forward with
@@ -163,7 +181,16 @@ def make_eval_step(
     if mesh is not None:
         repl = mesh_lib.replicated(mesh)
         data = mesh_lib.batch_sharding(mesh)
-        return jax.jit(step, in_shardings=(repl, data), out_shardings=repl)
+        if model_axis is not None and example_state is not None:
+            from single_person_pose_estimation_tpu.parallel import (
+                sharding_rules,
+            )
+            state_sh = sharding_rules.state_shardings(example_state, mesh,
+                                                      model_axis)
+        else:
+            state_sh = repl
+        return jax.jit(step, in_shardings=(state_sh, data),
+                       out_shardings=repl)
     return jax.jit(step)
 
 

@@ -1,0 +1,80 @@
+"""Export artifact round-trip, jax2tf SavedModel parity, profiling utils."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from single_person_pose_estimation_tpu.configs.default_config import Config
+from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
+from single_person_pose_estimation_tpu.training import steps as steps_lib
+from single_person_pose_estimation_tpu.utils import export, profiling
+
+
+CFG = Config().replace(image_height=64, image_width=64,
+                       label_height=16, label_width=16,
+                       hg_num_stacks=1, hg_num_channels=16,
+                       compute_dtype="float32")
+
+
+def make_state():
+    model = StackedHourglass(num_stacks=1, num_channels=16)
+    tx = steps_lib.make_optimizer(1e-3)
+    return model, steps_lib.TrainState.create(
+        model, tx, jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
+
+
+def test_artifact_round_trip(tmp_path):
+    model, state = make_state()
+    path = str(tmp_path / "artifact")
+    export.save_inference_artifact(CFG, state.params, state.batch_stats, path)
+    assert os.path.exists(os.path.join(path, "config.json"))
+
+    model2, variables, predict = export.load_inference_artifact(path)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    want = model.apply({"params": state.params,
+                        "batch_stats": state.batch_stats}, x, train=False)[-1]
+    got = predict(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_savedmodel_export_parity(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    model, state = make_state()
+    path = str(tmp_path / "savedmodel")
+    export.export_savedmodel(CFG, state.params, state.batch_stats, path,
+                             batch_size=2)
+    loaded = tf.saved_model.load(path)
+    x = np.random.default_rng(2).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(loaded.f(tf.constant(x)))
+    want = np.asarray(model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, train=False)[-1])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_step_timer():
+    import time
+    t = profiling.StepTimer(window=10)
+    t.tick(4)           # arrival
+    t.tick(4)           # first interval = compile, dropped
+    for _ in range(5):
+        time.sleep(0.01)
+        t.tick(4)
+    s = t.summary()
+    assert s["mean_step_s"] >= 0.009
+    assert s["items_per_sec"] > 0
+    assert set(s) == {"mean_step_s", "p50_step_s", "p90_step_s",
+                      "items_per_sec"}
+
+
+def test_trace_context(tmp_path):
+    d = str(tmp_path / "trace")
+    with profiling.trace(d):
+        with profiling.annotate("unit-test-span"):
+            jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    # a trace directory with at least one event file must exist
+    found = any(files for _, _, files in os.walk(d))
+    assert found

@@ -168,3 +168,60 @@ def test_graft_entry_forward_shapes():
     fn, args = mod.entry()
     out_shape = jax.eval_shape(fn, *args)
     assert out_shape.shape == (8, 64, 64, 17)
+
+
+def test_tensor_parallel_state_sharding():
+    """TP rules shard conv output channels + channel vectors over 'model',
+    replicate scalars/rng/17-channel head."""
+    from single_person_pose_estimation_tpu.parallel import sharding_rules
+    import optax
+
+    model = tiny_model()
+    tx = steps.make_optimizer(1e-3)
+    state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                    input_shape=(1, 64, 64, 3))
+    mesh = mesh_lib.create_mesh((4, 2), ("data", "model"))
+    sharded = sharding_rules.shard_state(state, mesh, "model")
+
+    k = sharded.params["hg0_downsample_f1_conv_3x3_2"]["kernel"]
+    assert k.sharding.spec == jax.sharding.PartitionSpec(
+        None, None, None, "model")
+    # 17-channel predict bias is not divisible by 2 -> replicated.
+    b17 = sharded.params["hg0_conv_1x1_predict"]["bias"]
+    assert b17.sharding.spec == jax.sharding.PartitionSpec()
+    # rng and step replicated.
+    assert sharded.rng.sharding.spec == jax.sharding.PartitionSpec()
+    assert sharded.step.sharding.spec == jax.sharding.PartitionSpec()
+    # Adam moments follow the same rule as their params.
+    mu = sharded.opt_state[0].mu["hg0_downsample_f1_conv_3x3_2"]["kernel"]
+    assert mu.sharding.spec == jax.sharding.PartitionSpec(
+        None, None, None, "model")
+
+
+def test_dp_tp_matches_single_device():
+    """A dp x tp sharded SGD step computes the same update as unsharded."""
+    import optax
+    from single_person_pose_estimation_tpu.parallel import sharding_rules
+
+    model = tiny_model()
+    tx = optax.sgd(0.01)
+    batch = make_batch(8, key=11)
+
+    s1 = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                 input_shape=(1, 64, 64, 3))
+    step1 = steps.make_train_step(model, tx, losses.mse, TINY, augment=False)
+    s1, m1 = step1(s1, batch)
+
+    mesh = mesh_lib.create_mesh((4, 2), ("data", "model"))
+    s2 = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                 input_shape=(1, 64, 64, 3))
+    s2 = sharding_rules.shard_state(s2, mesh, "model")
+    step2 = steps.make_train_step(model, tx, losses.mse, TINY, augment=False,
+                                  mesh=mesh, model_axis="model",
+                                  example_state=s2)
+    s2, m2 = step2(s2, mesh_lib.shard_batch(batch, mesh))
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        # TP resharding adds further f32 reduction-order noise vs pure DP.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
