@@ -77,6 +77,10 @@ class Trainer:
             async_checkpointing=config.async_checkpointing)
         self.logger = metrics_lib.HistoryLogger(config.logs_path)
         self.num_stacks = model.num_stacks
+        # Optional hook called with the 1-based epoch number after each
+        # completed epoch (checkpoint already saved) — used for fault
+        # injection in recovery tests (training/auto_resume.py).
+        self.epoch_callback = None
 
     # ------------------------------------------------------------------
 
@@ -130,6 +134,8 @@ class Trainer:
                     or epoch + 1 == final_epoch:
                 self.ckpt.save(epoch + 1, self.state, meta)
             self.ckpt.maybe_promote_best(row["val_loss"], self.state, meta)
+            if self.epoch_callback is not None:
+                self.epoch_callback(epoch + 1)
 
     # ------------------------------------------------------------------
 
