@@ -101,6 +101,7 @@ class Config:
     checkpoint_every_epochs: int = 1
     async_checkpointing: bool = True
     legacy_decode: bool = True        # reproduce reference decode-v2 offset bias
+    augment_backend: str = "auto"     # geometric warp: auto | gather | matmul2pass
     # Augmentation ranges (reference dataset_builder.py:175-182)
     aug_scale_min: float = 0.75
     aug_scale_max: float = 1.25

@@ -217,7 +217,8 @@ def augment_photometric(
     return (image - min_val) / (max_val - min_val)
 
 
-@partial(jax.jit, static_argnames=("label_size", "flip_pairs"))
+@partial(jax.jit, static_argnames=("label_size", "flip_pairs",
+                                   "geometric_backend"))
 def augment_batch(
     key: jax.Array,
     images: jnp.ndarray,
@@ -226,20 +227,54 @@ def augment_batch(
     kps_v: jnp.ndarray,
     label_size: int = 64,
     flip_pairs: Tuple[Tuple[int, int], ...] = DEFAULT_FLIP_PAIRS,
+    geometric_backend: str = "gather",
+    scale_min: float = 0.75,
+    scale_max: float = 1.25,
+    rotate_deg: float = 30.0,
 ):
     """Full train-time augmentation for a batch: geometric + photometric.
 
     images: (B, H, W, 3) in [0, 1]; kps_*: (B, K). Returns augmented images
     and transformed keypoints. One fused XLA program; per-example keys.
+
+    geometric_backend:
+      * "gather"     — direct 4-tap bilinear warp (exact single-resample
+                       interpolation; gathers are slow on TPU);
+      * "matmul2pass"— gather-free 2-pass one-hot-matmul warp
+                       (ops.pallas.warp_kernel; ~5x faster on TPU v5e,
+                       interpolation differs only by the second linear
+                       smoothing pass — statistically equivalent for
+                       augmentation). Keypoint transforms and parameter
+                       sampling are IDENTICAL across backends.
     """
     B = images.shape[0]
-    keys = jax.random.split(key, B * 2).reshape(B, 2, 2)
+    k_geo, k_photo = jax.random.split(key)
+    geo_keys = jax.random.split(k_geo, B)
+    photo_keys = jax.random.split(k_photo, B)
 
-    def one(example_keys, img, kx, ky, kv):
-        img, kx, ky, kv = augment_geometric(
-            example_keys[0], img, kx, ky, kv,
-            label_size=label_size, flip_pairs=flip_pairs)
-        img = augment_photometric(example_keys[1], img)
-        return img, kx, ky, kv
+    # Per-example affine params (same stream for both backends).
+    params = jax.vmap(partial(_affine_params, scale_min=scale_min,
+                              scale_max=scale_max, rotate_deg=rotate_deg)
+                      )(geo_keys)
+    s, theta, flip = params
 
-    return jax.vmap(one)(keys, images, kps_x, kps_y, kps_v)
+    perm = _flip_permutation(kps_x.shape[1], flip_pairs)
+    if flip_pairs and max(max(p) for p in flip_pairs) >= kps_x.shape[1]:
+        raise ValueError("flip_pairs index out of range")
+    ox, oy, ov = jax.vmap(
+        lambda kx, ky, kv, ss, th, fl: _transform_keypoints(
+            kx, ky, kv, ss, th, fl, label_size, perm)
+    )(kps_x, kps_y, kps_v, s, theta, flip)
+
+    if geometric_backend == "gather":
+        imgs = jax.vmap(_warp_image)(images, s, theta, flip)
+    elif geometric_backend == "matmul2pass":
+        from single_person_pose_estimation_tpu.ops.pallas.warp_kernel import (
+            affine_warp_batch,
+        )
+        imgs = affine_warp_batch(images, theta, s, flip)
+    else:
+        raise ValueError(f"unknown geometric_backend {geometric_backend!r}")
+
+    imgs = jax.vmap(augment_photometric)(photo_keys, imgs)
+    return imgs, ox, oy, ov

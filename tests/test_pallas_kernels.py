@@ -77,3 +77,86 @@ def test_decode_kernel_tie_breaking():
     want = np.asarray(decode_batch(hm, legacy=True))
     got = np.asarray(decode_batch_pallas(hm, legacy=True, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# 2-pass matmul warp kernel
+# ---------------------------------------------------------------------------
+
+def test_warp_kernel_geometry_on_smooth_image():
+    """Affine warp of an affine image: linear interp is exact, so 2-pass
+    must equal the direct gather warp away from zero-pad boundaries."""
+    from single_person_pose_estimation_tpu.ops.augment import _warp_image
+    from single_person_pose_estimation_tpu.ops.pallas.warp_kernel import (
+        affine_warp_batch,
+    )
+
+    H = W = 64
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    grad = np.stack([xx / W, yy / H, (xx + yy) / (H + W)], -1).astype(np.float32)
+    imgs = jnp.asarray(np.stack([grad, grad * 0.5 + 0.2]))
+    theta = jnp.asarray([0.3, -0.4])
+    s = jnp.asarray([0.8, 1.2])
+    flip = jnp.asarray([False, True])
+    got = np.asarray(affine_warp_batch(imgs, theta, s, flip, interpret=True))
+    want = np.stack([np.asarray(_warp_image(imgs[b], s[b], theta[b], flip[b]))
+                     for b in range(2)])
+    mask = (want.sum(-1) > 1e-6) & (got.sum(-1) > 1e-6)
+    assert np.abs(got - want)[mask].mean() < 1e-3
+
+
+def test_warp_kernel_identity():
+    from single_person_pose_estimation_tpu.ops.pallas.warp_kernel import (
+        affine_warp_batch,
+    )
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    out = np.asarray(affine_warp_batch(
+        imgs, jnp.zeros((1,)), jnp.ones((1,)), jnp.zeros((1,), bool),
+        interpret=True))
+    np.testing.assert_allclose(out, np.asarray(imgs), atol=1e-5)
+
+
+def test_warp_kernel_pure_flip():
+    from single_person_pose_estimation_tpu.ops.pallas.warp_kernel import (
+        affine_warp_batch,
+    )
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    out = np.asarray(affine_warp_batch(
+        imgs, jnp.zeros((1,)), jnp.ones((1,)), jnp.ones((1,), bool),
+        interpret=True))
+    np.testing.assert_allclose(out, np.asarray(imgs)[:, :, ::-1], atol=1e-5)
+
+
+def test_augment_batch_backends_agree():
+    """Both geometric backends: identical keypoint transforms, matching
+    image statistics (interpolation differs, geometry must not)."""
+    from single_person_pose_estimation_tpu.ops.augment import augment_batch
+
+    B = 4
+    key = jax.random.PRNGKey(5)
+    imgs = jax.random.uniform(jax.random.PRNGKey(6), (B, 64, 64, 3))
+    kx = jax.random.uniform(jax.random.PRNGKey(7), (B, 17)) * 16
+    ky = jax.random.uniform(jax.random.PRNGKey(8), (B, 17)) * 16
+    kv = jnp.full((B, 17), 2, jnp.int32)
+
+    img_g, kxg, kyg, kvg = augment_batch(key, imgs, kx, ky, kv,
+                                         label_size=16,
+                                         geometric_backend="gather")
+    # interpret-mode pallas path on CPU
+    import single_person_pose_estimation_tpu.ops.pallas.warp_kernel as wk
+    orig = wk.affine_warp_batch
+    wk.affine_warp_batch = lambda i, t, s, f: orig(i, t, s, f, interpret=True)
+    try:
+        img_m, kxm, kym, kvm = augment_batch(key, imgs, kx, ky, kv,
+                                             label_size=16,
+                                             geometric_backend="matmul2pass")
+    finally:
+        wk.affine_warp_batch = orig
+
+    np.testing.assert_array_equal(np.asarray(kxg), np.asarray(kxm))
+    np.testing.assert_array_equal(np.asarray(kyg), np.asarray(kym))
+    np.testing.assert_array_equal(np.asarray(kvg), np.asarray(kvm))
+    # photometric renorm forces [0,1]; means should be close
+    assert abs(float(img_g.mean()) - float(img_m.mean())) < 0.05
