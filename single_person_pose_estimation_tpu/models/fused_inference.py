@@ -1,0 +1,156 @@
+"""Fused inference forward: the stacked hourglass with every hourglass
+bottleneck executed by the fully-fused Pallas kernel.
+
+Consumes the SAME flax variables as models.hourglass.StackedHourglass and
+produces the same per-stack heatmaps (equality-tested in
+tests/test_fused_inference.py); the front module, pooling, upsampling and
+heads stay on XLA (the front bottlenecks have conv skips and live at
+128x128 where the whole-map-in-VMEM strategy doesn't fit), while the 15
+identity-skip bottlenecks per stack — the bulk of the FLOPs and all of the
+intermediate HBM traffic — run via ops.pallas.bottleneck_kernel.
+
+Inference only (running BN statistics; no gradient path).
+
+Measured (v5e, S4/256, B=128, bf16): per-grid-step kernel time is near the
+compute bound (~9us vs ~8.8us of MXU issue), but END-TO-END the fused path
+runs ~1814 img/s vs 2174 img/s for the plain XLA model: the win from
+removing intra-bottleneck HBM traffic is currently outweighed by the
+pool/upsample/add/head glue losing XLA's conv-epilogue fusions. Kept as a
+correct, tested base for level-granularity fusion (bottleneck+pool and
+short+upsample+add+merged single kernels); the default inference path
+remains the flax/XLA model. Numerics: exact vs model.apply at f32 (<=7e-6);
+at bf16 stack-0 divergence is rounding-level (~1e-2) and compounds through
+the inter-stack feedback as with any reordered bf16 accumulation (this
+kernel accumulates in f32 — more precisely than the bf16 XLA path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
+    bn_affine,
+    fused_bottleneck,
+)
+
+_BN_EPS = 1e-3
+
+
+def _conv(params, x, name, stride=1):
+    k = params[name]["kernel"].astype(x.dtype)
+    b = params[name]["bias"].astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x, k, (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b
+
+
+def _bn(params, stats, x, name):
+    a, c = bn_affine(params[name]["scale"], params[name]["bias"],
+                     stats[name]["mean"], stats[name]["var"], _BN_EPS)
+    return x * a.astype(x.dtype) + c.astype(x.dtype)
+
+
+def _bottleneck_xla(params, stats, x, name, channels):
+    """Plain XLA bottleneck (used in the front, where skips are convs)."""
+    if x.shape[-1] == channels:
+        skip = x
+    else:
+        skip = jnp.maximum(_conv(params, x, name + "_skip"), 0)
+    y = jnp.maximum(_conv(params, x, name + "_conv_1x1_1"), 0)
+    y = _bn(params, stats, y, name + "_conv_1x1_1_bn")
+    y = jnp.maximum(_conv(params, y, name + "_conv_3x3_2"), 0)
+    y = _bn(params, stats, y, name + "_conv_3x3_2_bn")
+    y = jnp.maximum(_conv(params, y, name + "_conv_1x1_3"), 0)
+    y = _bn(params, stats, y, name + "_conv_1x1_3_bn")
+    return skip + y
+
+
+def _bottleneck_fused(params, stats, x, name, interpret):
+    def aff(n):
+        return bn_affine(params[n]["scale"], params[n]["bias"],
+                         stats[n]["mean"], stats[n]["var"], _BN_EPS)
+
+    a1, c1 = aff(name + "_conv_1x1_1_bn")
+    a2, c2 = aff(name + "_conv_3x3_2_bn")
+    a3, c3 = aff(name + "_conv_1x1_3_bn")
+    p1 = params[name + "_conv_1x1_1"]
+    p2 = params[name + "_conv_3x3_2"]
+    p3 = params[name + "_conv_1x1_3"]
+    return fused_bottleneck(
+        x,
+        p1["kernel"][0, 0], p1["bias"],
+        p2["kernel"], p2["bias"],
+        p3["kernel"][0, 0], p3["bias"],
+        a1, c1, a2, c2, a3, c3,
+        interpret=interpret)
+
+
+def _maxpool(x):
+    return lax.reduce_window(x, -jnp.inf, lax.max,
+                             (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def _upsample2x(x):
+    B, H, W, C = x.shape
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return y.reshape(B, H * 2, W * 2, C)
+
+
+@partial(jax.jit, static_argnames=("num_stacks", "compute_dtype", "interpret"))
+def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
+                compute_dtype=jnp.bfloat16,
+                interpret: bool = False) -> List[jnp.ndarray]:
+    """Drop-in for `model.apply(variables, images, train=False)` on the
+    non-mobile hourglass, with Pallas-fused hourglass bottlenecks."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    x = images.astype(compute_dtype)
+
+    # Front module (XLA): 7x7/s2 conv -> relu -> BN, three bottlenecks.
+    y = jnp.maximum(_conv(params, x, "front_conv_1x1_1", stride=2), 0)
+    y = _bn(params, stats, y, "front_conv_1x1_1_bn")
+    c = params["front_bottleneck_3_conv_1x1_3"]["kernel"].shape[-1]
+    y = _bottleneck_xla(params, stats, y, "front_bottleneck_1", c // 2)
+    y = _maxpool(y)
+    y = _bottleneck_xla(params, stats, y, "front_bottleneck_2", c // 2)
+    y = _bottleneck_xla(params, stats, y, "front_bottleneck_3", c)
+
+    bneck = partial(_bottleneck_fused, params, stats, interpret=interpret)
+
+    outputs = []
+    for i in range(num_stacks):
+        name = f"hg{i}"
+        f1 = bneck(x=y, name=name + "_downsample_f1")
+        pd = _maxpool(f1)
+        f2 = bneck(x=pd, name=name + "_downsample_f2")
+        pd = _maxpool(f2)
+        f4 = bneck(x=pd, name=name + "_downsample_f4")
+        pd = _maxpool(f4)
+        f8 = bneck(x=pd, name=name + "_downsample_f8")
+        b = _maxpool(f8)
+        b = bneck(x=b, name=name + "_downsample_f8_1")
+        b = bneck(x=b, name=name + "_downsample_f8_2")
+        b = bneck(x=b, name=name + "_downsample_f8_3")
+        u = b
+        for feat, lvl in ((f8, "f8"), (f4, "f4"), (f2, "f2"), (f1, "f1")):
+            d = bneck(x=feat, name=f"{name}_upsample_{lvl}_short")
+            u = d + _upsample2x(u)
+            u = bneck(x=u, name=f"{name}_upsample_{lvl}_merged")
+
+        head = jnp.maximum(_conv(params, u, name + "_conv_1x1_1"), 0)
+        head = _bn(params, stats, head, name + "_conv_1x1_1_bn")
+        zp = _conv(params, head, name + "_conv_1x1_predict")
+        head_predict = jax.nn.sigmoid(zp.astype(jnp.float32))
+        outputs.append(head_predict)
+        if i < num_stacks - 1:
+            h2 = _conv(params, head, name + "_conv_1x1_2")
+            hm = _conv(params, head_predict.astype(compute_dtype),
+                       name + "_conv_1x1_3")
+            y = h2 + hm + y
+    return outputs

@@ -1,0 +1,109 @@
+"""Pallas TPU kernel: fully-fused hourglass bottleneck (inference).
+
+The bottleneck (reference hourglass.py:184-206) is
+    t1 = bn1(relu(x @ W1 + b1))          # 1x1, C -> C/2
+    t2 = bn2(relu(conv3x3(t1, W2) + b2)) # 3x3, C/2 -> C/2
+    t3 = bn3(relu(t2 @ W3 + b3))         # 1x1, C/2 -> C
+    out = x + t3                         # identity skip (C == C)
+XLA executes the three convs as separate HBM->HBM ops: per 64x64x256
+bottleneck at batch 128 that's ~1.7 GB of intermediate traffic. A whole
+64x64x256 bf16 feature map is only 2 MB — this kernel keeps the entire
+bottleneck in VMEM: one grid step per image loads x once, runs all three
+matmuls (the 3x3 as 9 shifted (HW, C/2) @ (C/2, C/2) MXU matmuls over a
+zero-padded copy), applies the folded inference-BN affines (a*v + c with
+a = gamma/sqrt(var+eps), c = beta - mean*a) and the residual add, and
+writes out once.
+
+Inference-only (BN uses running statistics; no custom VJP — the training
+path keeps the flax/XLA implementation). Used by
+models/fused_inference.py, which is equality-tested against model.apply.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _bottleneck_kernel(x_ref, w1_ref, w2_ref, w3_ref, b_ref,
+                       a1_ref, c1_ref, a2_ref, c2_ref, a3_ref, c3_ref,
+                       out_ref, *, H, W, Cin, Cmid):
+    x = x_ref[0]                                     # (H, W, Cin)
+    xf = x.reshape(H * W, Cin)
+
+    # 1x1 conv -> relu -> BN affine.
+    z1 = jnp.dot(xf, w1_ref[...],
+                 preferred_element_type=jnp.float32) + b_ref[0:1, :Cmid]
+    t1 = jnp.maximum(z1, 0.0) * a1_ref[...] + c1_ref[...]
+    t1 = t1.astype(x.dtype).reshape(H, W, Cmid)
+
+    # 3x3 conv as 9 shifted matmuls over a zero-padded VMEM copy.
+    t1p = jnp.pad(t1, ((1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((H * W, Cmid), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            sl = t1p[dy:dy + H, dx:dx + W, :].reshape(H * W, Cmid)
+            acc = acc + jnp.dot(sl, w2_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+    t2 = jnp.maximum(acc + b_ref[1:2, :Cmid], 0.0) * a2_ref[...] + c2_ref[...]
+    t2 = t2.astype(x.dtype)
+
+    # 1x1 conv -> relu -> BN affine -> residual.
+    z3 = jnp.dot(t2, w3_ref[...],
+                 preferred_element_type=jnp.float32) + b_ref[2:3, :Cin]
+    t3 = jnp.maximum(z3, 0.0) * a3_ref[...] + c3_ref[...]
+    out = xf.astype(jnp.float32) + t3
+    out_ref[0] = out.astype(x.dtype).reshape(H, W, Cin)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_bottleneck(x, w1, b1, w2, b2, w3, b3,
+                     a1, c1, a2, c2, a3, c3, interpret: bool = False):
+    """x (B, H, W, C); identity-skip bottleneck with folded BN affines.
+
+    w1 (C, Cm), w2 (3, 3, Cm, Cm), w3 (Cm, C); b* biases; a*/c* the
+    inference-BN scale/shift per channel. Returns (B, H, W, C), dtype of x.
+    """
+    B, H, W, Cin = x.shape
+    Cmid = w1.shape[1]
+    dt = x.dtype
+    # Biases padded into one (3, max(C, Cm)) table to limit operand count.
+    bmax = max(Cin, Cmid)
+    b_tab = jnp.zeros((3, bmax), jnp.float32)
+    b_tab = b_tab.at[0, :Cmid].set(b1.astype(jnp.float32))
+    b_tab = b_tab.at[1, :Cmid].set(b2.astype(jnp.float32))
+    b_tab = b_tab.at[2, :Cin].set(b3.astype(jnp.float32))
+
+    kernel = partial(_bottleneck_kernel, H=H, W=W, Cin=Cin, Cmid=Cmid)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, Cin), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(), full(), full(), full(),
+            full(), full(), full(), full(), full(), full(),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, Cin), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cin), dt),
+        interpret=interpret,
+    )(x,
+      w1.astype(dt), w2.astype(dt), w3.astype(dt), b_tab,
+      a1.reshape(1, -1).astype(jnp.float32),
+      c1.reshape(1, -1).astype(jnp.float32),
+      a2.reshape(1, -1).astype(jnp.float32),
+      c2.reshape(1, -1).astype(jnp.float32),
+      a3.reshape(1, -1).astype(jnp.float32),
+      c3.reshape(1, -1).astype(jnp.float32))
+
+
+def bn_affine(scale, bias, mean, var, eps: float = 1e-3):
+    """Fold inference BatchNorm into (a, c): bn(v) = a*v + c."""
+    a = scale / jnp.sqrt(var + eps)
+    return a, bias - mean * a

@@ -1,0 +1,86 @@
+"""Fused-bottleneck inference path: equality vs the flax model (f32,
+interpreter-mode kernels on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from single_person_pose_estimation_tpu.models.fused_inference import fused_apply
+from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
+
+
+def randomized_variables(model, seed=0, size=64):
+    v = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3)),
+                   train=False)
+    rngs = jax.random.split(jax.random.PRNGKey(seed + 1), 4096)
+    i = [0]
+
+    def rnd(x):
+        i[0] += 1
+        return jax.random.uniform(rngs[i[0]], x.shape, minval=0.5, maxval=1.5)
+
+    # non-trivial BN running stats so the affine fold is exercised
+    return {"params": v["params"],
+            "batch_stats": jax.tree.map(rnd, v["batch_stats"])}
+
+
+def test_fused_apply_matches_flax_f32():
+    model = StackedHourglass(num_stacks=2, num_channels=32,
+                             compute_dtype=jnp.float32)
+    v = randomized_variables(model)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    want = model.apply(v, x, train=False)
+    got = fused_apply(v, x, num_stacks=2, compute_dtype=jnp.float32,
+                      interpret=True)
+    assert len(got) == 2
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_apply_single_stack():
+    model = StackedHourglass(num_stacks=1, num_channels=16,
+                             compute_dtype=jnp.float32)
+    v = randomized_variables(model)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    want = model.apply(v, x, train=False)
+    got = fused_apply(v, x, num_stacks=1, compute_dtype=jnp.float32,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(want[0]), np.asarray(got[0]),
+                               atol=1e-4)
+
+
+def test_fused_bottleneck_kernel_direct():
+    """The kernel alone vs a hand-rolled reference bottleneck."""
+    from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
+        bn_affine,
+        fused_bottleneck,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, W, C, Cm = 2, 16, 16, 32, 16
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, C)).astype(np.float32))
+    w1 = jnp.asarray(rng.uniform(-.2, .2, (C, Cm)).astype(np.float32))
+    w2 = jnp.asarray(rng.uniform(-.2, .2, (3, 3, Cm, Cm)).astype(np.float32))
+    w3 = jnp.asarray(rng.uniform(-.2, .2, (Cm, C)).astype(np.float32))
+    b1 = jnp.asarray(rng.uniform(-.1, .1, (Cm,)).astype(np.float32))
+    b2 = jnp.asarray(rng.uniform(-.1, .1, (Cm,)).astype(np.float32))
+    b3 = jnp.asarray(rng.uniform(-.1, .1, (C,)).astype(np.float32))
+    affs = [bn_affine(jnp.asarray(rng.uniform(0.5, 1.5, (n,)), jnp.float32),
+                      jnp.asarray(rng.uniform(-.3, .3, (n,)), jnp.float32),
+                      jnp.asarray(rng.uniform(-.5, .5, (n,)), jnp.float32),
+                      jnp.asarray(rng.uniform(0.5, 1.5, (n,)), jnp.float32))
+            for n in (Cm, Cm, C)]
+    (a1, c1), (a2, c2), (a3, c3) = affs
+
+    got = np.asarray(fused_bottleneck(x, w1, b1, w2, b2, w3, b3,
+                                      a1, c1, a2, c2, a3, c3,
+                                      interpret=True))
+
+    import jax.lax as lax
+    t1 = jnp.maximum(jnp.einsum("bhwc,cm->bhwm", x, w1) + b1, 0) * a1 + c1
+    t2c = lax.conv_general_dilated(t1, w2, (1, 1), "SAME",
+                                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    t2 = jnp.maximum(t2c + b2, 0) * a2 + c2
+    t3 = jnp.maximum(jnp.einsum("bhwm,mc->bhwc", t2, w3) + b3, 0) * a3 + c3
+    want = np.asarray(x + t3)
+    np.testing.assert_allclose(got, want, atol=1e-4)
