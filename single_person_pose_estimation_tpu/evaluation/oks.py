@@ -204,6 +204,11 @@ class KeypointEval:
             # keypoints task: GTs without labeled keypoints are ignored.
             g["ignore"] = int(ann.get("iscrowd", 0) == 1
                               or ann.get("num_keypoints", 0) == 0)
+            if "area" not in g:
+                # COCO GT files carry segmentation area; fall back to the
+                # bbox area when absent (synthetic/minimal annotations).
+                bb = g.get("bbox", [0, 0, 0, 0])
+                g["area"] = float(bb[2]) * float(bb[3])
             self.gts.setdefault(img, []).append(g)
 
         self.dts: Dict[int, List[dict]] = {}

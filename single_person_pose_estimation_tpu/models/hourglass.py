@@ -92,6 +92,7 @@ class StackedHourglass(nn.Module):
     mobile: bool = False
     compute_dtype: Any = jnp.float32
     remat: bool = False  # checkpoint each hourglass module to save HBM
+    bn_momentum: float = _BN_MOMENTUM  # Keras default; 0.0 = adopt batch stats
 
     # ------------------------------------------------------------------
     def _activate(self, y, activation):
@@ -127,7 +128,7 @@ class StackedHourglass(nn.Module):
     def _bn(self, x, train: bool, name: str):
         return nn.BatchNorm(
             use_running_average=not train,
-            momentum=_BN_MOMENTUM,
+            momentum=self.bn_momentum,
             epsilon=_BN_EPS,
             dtype=self.compute_dtype,
             name=name,

@@ -225,3 +225,31 @@ def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
     """Adam with Keras defaults (b1=0.9, b2=0.999, eps=1e-7), matching the
     reference optimizer (trainer.py:31)."""
     return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+
+
+def recalibrate_batch_stats(model, state: TrainState, batches,
+                            momentum: float = 0.0) -> TrainState:
+    """Refresh BatchNorm running statistics by forwarding `batches` in
+    train mode WITHOUT touching params (standard BN recalibration).
+
+    With the Keras-default momentum of 0.99 the running stats need tens of
+    thousands of steps to converge; after short trainings (or weight
+    import) eval-mode outputs can be far off batch-stat outputs. With
+    momentum=0.0 a single pass adopts each batch's statistics outright
+    (exact for a one-batch dataset; for streams, pass a larger momentum
+    like 0.9 and several batches).
+    """
+    recal_model = model.clone(bn_momentum=momentum)
+
+    @jax.jit
+    def one(stats, images):
+        _, mut = recal_model.apply(
+            {"params": state.params, "batch_stats": stats},
+            images, train=True, mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    stats = state.batch_stats
+    for batch in batches:
+        images = batch["image"] if isinstance(batch, dict) else batch
+        stats = one(stats, images)
+    return state.replace(batch_stats=stats)
