@@ -97,13 +97,16 @@ class _Prefetcher:
     """Runs an iterator on a background thread with a bounded queue.
 
     cv2's JPEG decode releases the GIL, so host decode overlaps device
-    steps even on a single core.
+    steps even on a single core. The producer polls a stop event while
+    putting so abandoned iterators shut down cleanly at interpreter exit
+    instead of dying blocked on a full queue.
     """
 
     _SENTINEL = object()
 
     def __init__(self, it: Iterator, depth: int = 4):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, args=(it,),
                                         daemon=True)
         self._thread.start()
@@ -111,9 +114,25 @@ class _Prefetcher:
     def _run(self, it):
         try:
             for item in it:
-                self._q.put(item)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         finally:
-            self._q.put(self._SENTINEL)
+            try:
+                self._q.put_nowait(self._SENTINEL)
+            except queue.Full:
+                pass
+
+    def close(self) -> None:
+        self._stop.set()
+
+    def __del__(self):
+        self._stop.set()
 
     def __iter__(self):
         return self
@@ -126,9 +145,16 @@ class _Prefetcher:
 
 
 class DatasetBuilder:
-    """Builds train/valid/prediction iterators from record shards."""
+    """Builds train/valid/prediction iterators from record shards.
 
-    def __init__(self, config: Config, ratio: float = 1.0):
+    Multi-host: pass process_index/process_count (or rely on
+    jax.process_index()/count via parallel.distributed) to give each host a
+    disjoint round-robin subset of the shard files — the host-local half of
+    global-batch data parallelism (assemble with mesh.shard_local_batch).
+    """
+
+    def __init__(self, config: Config, ratio: float = 1.0,
+                 process_index: int = 0, process_count: int = 1):
         if not 0 < ratio <= 1:
             raise ValueError("ratio must be in (0, 1]")
         self.config = config
@@ -141,6 +167,15 @@ class DatasetBuilder:
                 :int(np.ceil(ratio * len(self.train_filenames)))]
             self.valid_filenames = self.valid_filenames[
                 :int(np.ceil(ratio * len(self.valid_filenames)))]
+        if process_count > 1:
+            from single_person_pose_estimation_tpu.parallel.distributed import (
+                shard_files_for_process,
+            )
+            self.train_filenames = shard_files_for_process(
+                self.train_filenames, process_index, process_count)
+            self.valid_filenames = shard_files_for_process(
+                self.valid_filenames, process_index, process_count,
+                allow_replicate=True)
         self.num_train_examples = tfrecord.count_examples_from_filenames(
             self.train_filenames)
         self.num_valid_examples = tfrecord.count_examples_from_filenames(

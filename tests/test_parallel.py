@@ -225,3 +225,36 @@ def test_dp_tp_matches_single_device():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         # TP resharding adds further f32 reduction-order noise vs pure DP.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_shard_files_for_process():
+    from single_person_pose_estimation_tpu.parallel.distributed import (
+        shard_files_for_process,
+    )
+
+    files = [f"file_{i:02d}-100.tfrec" for i in range(7)]
+    parts = [shard_files_for_process(files, p, 3) for p in range(3)]
+    # disjoint, complete, round-robin balanced within one file
+    assert sorted(sum(parts, [])) == sorted(files)
+    assert {len(p) for p in parts} <= {2, 3}
+    assert not set(parts[0]) & set(parts[1])
+    with pytest.raises(ValueError, match="cannot feed"):
+        shard_files_for_process(files[:2], 0, 3)
+    assert shard_files_for_process(files, 0, 1) == files
+
+
+def test_dataset_builder_process_sharding(tmp_path):
+    from test_data import make_synthetic_coco
+    from single_person_pose_estimation_tpu.data import coco as coco_lib
+    from single_person_pose_estimation_tpu.data import pipeline as pipe
+
+    root = str(tmp_path / "dataset")
+    make_synthetic_coco(root, "train2017", n_images=3, people_per=2)
+    make_synthetic_coco(root, "val2017", n_images=2, people_per=1)
+    cfg = TINY.replace(dataset_dir=root, batch_size=2,
+                       num_examples_per_record=2)
+    coco_lib.gen_trainval_records(cfg)
+    b0 = pipe.DatasetBuilder(cfg, process_index=0, process_count=2)
+    b1 = pipe.DatasetBuilder(cfg, process_index=1, process_count=2)
+    assert not set(b0.train_filenames) & set(b1.train_filenames)
+    assert (b0.num_train_examples + b1.num_train_examples) == 6
