@@ -12,16 +12,19 @@ intermediate HBM traffic — run via ops.pallas.bottleneck_kernel.
 Inference only (running BN statistics; no gradient path).
 
 Measured (v5e, S4/256, B=128, bf16): per-grid-step kernel time is near the
-compute bound (~9us vs ~8.8us of MXU issue), but END-TO-END the fused path
-runs ~1814 img/s vs 2174 img/s for the plain XLA model: the win from
-removing intra-bottleneck HBM traffic is currently outweighed by the
-pool/upsample/add/head glue losing XLA's conv-epilogue fusions. Kept as a
-correct, tested base for level-granularity fusion (bottleneck+pool and
-short+upsample+add+merged single kernels); the default inference path
-remains the flax/XLA model. Numerics: exact vs model.apply at f32 (<=7e-6);
-at bf16 stack-0 divergence is rounding-level (~1e-2) and compounds through
-the inter-stack feedback as with any reordered bf16 accumulation (this
-kernel accumulates in f32 — more precisely than the bf16 XLA path).
+compute bound (~9us vs ~8.8us of MXU issue). End-to-end progression:
+bottleneck fusion alone 1814 img/s; + level fusion (fuse_levels=True,
+ops.pallas.uplevel_kernel folds short-bottleneck + 2x upsample + add +
+merged-bottleneck of each decoder level into one kernel) 2268 img/s; plain
+XLA model 2342 img/s. XLA's conv-epilogue fusion of the remaining glue
+(downsample pools, heads, front, inter-stack residuals) still edges it
+out, so the default inference path remains the flax/XLA model; these
+kernels are the measured, tested base for closing the remaining gap (pool-fused
+downsample bottlenecks, whole-decoder kernels). Numerics: exact vs
+model.apply at f32 (<=7e-6) for both fusion levels; at bf16 stack-0
+divergence is rounding-level (~1e-2) and compounds through the
+inter-stack feedback as with any reordered bf16 accumulation (these
+kernels accumulate in f32 — more precisely than the bf16 XLA path).
 """
 
 from __future__ import annotations
@@ -36,6 +39,9 @@ from jax import lax
 from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
     bn_affine,
     fused_bottleneck,
+)
+from single_person_pose_estimation_tpu.ops.pallas.uplevel_kernel import (
+    fused_uplevel,
 )
 
 _BN_EPS = 1e-3
@@ -71,7 +77,8 @@ def _bottleneck_xla(params, stats, x, name, channels):
     return skip + y
 
 
-def _bottleneck_fused(params, stats, x, name, interpret):
+def _bneck_params(params, stats, name):
+    """Extract {w*, b*, a*, c*} for one bottleneck with folded BN affines."""
     def aff(n):
         return bn_affine(params[n]["scale"], params[n]["bias"],
                          stats[n]["mean"], stats[n]["var"], _BN_EPS)
@@ -82,12 +89,17 @@ def _bottleneck_fused(params, stats, x, name, interpret):
     p1 = params[name + "_conv_1x1_1"]
     p2 = params[name + "_conv_3x3_2"]
     p3 = params[name + "_conv_1x1_3"]
+    return {"w1": p1["kernel"][0, 0], "b1": p1["bias"],
+            "w2": p2["kernel"], "b2": p2["bias"],
+            "w3": p3["kernel"][0, 0], "b3": p3["bias"],
+            "a1": a1, "c1": c1, "a2": a2, "c2": c2, "a3": a3, "c3": c3}
+
+
+def _bottleneck_fused(params, stats, x, name, interpret):
+    p = _bneck_params(params, stats, name)
     return fused_bottleneck(
-        x,
-        p1["kernel"][0, 0], p1["bias"],
-        p2["kernel"], p2["bias"],
-        p3["kernel"][0, 0], p3["bias"],
-        a1, c1, a2, c2, a3, c3,
+        x, p["w1"], p["b1"], p["w2"], p["b2"], p["w3"], p["b3"],
+        p["a1"], p["c1"], p["a2"], p["c2"], p["a3"], p["c3"],
         interpret=interpret)
 
 
@@ -102,10 +114,12 @@ def _upsample2x(x):
     return y.reshape(B, H * 2, W * 2, C)
 
 
-@partial(jax.jit, static_argnames=("num_stacks", "compute_dtype", "interpret"))
+@partial(jax.jit, static_argnames=("num_stacks", "compute_dtype", "interpret",
+                                   "fuse_levels"))
 def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 compute_dtype=jnp.bfloat16,
-                interpret: bool = False) -> List[jnp.ndarray]:
+                interpret: bool = False,
+                fuse_levels: bool = False) -> List[jnp.ndarray]:
     """Drop-in for `model.apply(variables, images, train=False)` on the
     non-mobile hourglass, with Pallas-fused hourglass bottlenecks."""
     params = variables["params"]
@@ -139,9 +153,18 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
         b = bneck(x=b, name=name + "_downsample_f8_3")
         u = b
         for feat, lvl in ((f8, "f8"), (f4, "f4"), (f2, "f2"), (f1, "f1")):
-            d = bneck(x=feat, name=f"{name}_upsample_{lvl}_short")
-            u = d + _upsample2x(u)
-            u = bneck(x=u, name=f"{name}_upsample_{lvl}_merged")
+            if fuse_levels:
+                u = fused_uplevel(
+                    feat, u,
+                    _bneck_params(params, stats,
+                                  f"{name}_upsample_{lvl}_short"),
+                    _bneck_params(params, stats,
+                                  f"{name}_upsample_{lvl}_merged"),
+                    interpret=interpret)
+            else:
+                d = bneck(x=feat, name=f"{name}_upsample_{lvl}_short")
+                u = d + _upsample2x(u)
+                u = bneck(x=u, name=f"{name}_upsample_{lvl}_merged")
 
         head = jnp.maximum(_conv(params, u, name + "_conv_1x1_1"), 0)
         head = _bn(params, stats, head, name + "_conv_1x1_1_bn")

@@ -84,3 +84,16 @@ def test_fused_bottleneck_kernel_direct():
     t3 = jnp.maximum(jnp.einsum("bhwm,mc->bhwc", t2, w3) + b3, 0) * a3 + c3
     want = np.asarray(x + t3)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_fused_apply_with_level_fusion_matches_flax():
+    """fuse_levels=True (uplevel kernel) must also match exactly at f32."""
+    model = StackedHourglass(num_stacks=2, num_channels=32,
+                             compute_dtype=jnp.float32)
+    v = randomized_variables(model)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    want = model.apply(v, x, train=False)
+    got = fused_apply(v, x, num_stacks=2, compute_dtype=jnp.float32,
+                      interpret=True, fuse_levels=True)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
