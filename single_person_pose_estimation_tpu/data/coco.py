@@ -28,17 +28,13 @@ import json
 import os
 import time
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
 from single_person_pose_estimation_tpu.configs.default_config import Config
 from single_person_pose_estimation_tpu.data import example_codec, tfrecord
-from single_person_pose_estimation_tpu.data.images import (
-    decode_jpeg,
-    encode_jpeg,
-    read_image,
-)
+from single_person_pose_estimation_tpu.data.images import encode_jpeg, read_image
 
 
 @dataclass

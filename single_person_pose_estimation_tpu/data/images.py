@@ -9,7 +9,7 @@ reference's parse path (dataset_builder.py:264, 105).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

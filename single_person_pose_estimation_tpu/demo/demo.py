@@ -20,7 +20,7 @@ mirrors the reference API, including the RGBA overlay for video streaming.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ count. Vectorized over examples instead of the reference's Python loops.
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 

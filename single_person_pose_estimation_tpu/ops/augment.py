@@ -29,7 +29,7 @@ All functions take an explicit PRNG key and are shape-static.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,10 +18,8 @@ across ALL sessions.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from single_person_pose_estimation_tpu.training.steps import TrainState

@@ -14,7 +14,6 @@ from typing import List, Optional, Tuple
 
 import jax
 
-from single_person_pose_estimation_tpu.configs.default_config import Config
 from single_person_pose_estimation_tpu.training import steps as steps_lib
 from single_person_pose_estimation_tpu.training.checkpoint import CheckpointManager
 

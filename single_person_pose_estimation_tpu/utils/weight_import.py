@@ -21,7 +21,7 @@ Mapping rules (models/hourglass.py mirrors reference layer names exactly):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 
