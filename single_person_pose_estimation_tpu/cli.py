@@ -74,7 +74,7 @@ def _make_trainer(args, cfg: Config):
     model = _build_model(cfg)
     builder = DatasetBuilder(cfg, ratio=args.ratio)
     return Trainer(model, builder, args.epochs, args.lr, args.loss, cfg,
-                   mesh=mesh)
+                   mesh=mesh, augment=not args.no_augment)
 
 
 def cmd_train(args, cfg: Config):
@@ -107,6 +107,20 @@ def cmd_eval(args, cfg: Config):
         input_shape=(1, cfg.image_height, cfg.image_width, 3))
     print(f"Loaded checkpoint meta: {meta}")
     builder = DatasetBuilder(cfg, ratio=args.ratio)
+    if args.recalibrate_batches:
+        # BN running stats (Keras momentum .99) take ~1e4 steps to converge;
+        # after short trainings eval-mode outputs are unusable without a
+        # recalibration pass over train batches (training/steps.py).
+        from single_person_pose_estimation_tpu.training.steps import (
+            recalibrate_batch_stats,
+        )
+        train_it, _ = builder.build_datasets()
+        n = args.recalibrate_batches
+        momentum = 0.0 if n == 1 else 1.0 - 1.0 / n
+        state = recalibrate_batch_stats(
+            model, state, (next(train_it) for _ in range(n)),
+            momentum=momentum)
+        print(f"Recalibrated BN stats over {n} train batches")
     preds = predict_ds(model, state, builder.get_ds_prediction(),
                        conf_threshold=args.conf_threshold,
                        legacy_decode=cfg.legacy_decode,
@@ -145,6 +159,8 @@ def main(argv=None):
                                 "weighted_keypoint_mse"])
         t.add_argument("--ratio", type=float, default=1.0)
         t.add_argument("--data-parallel", action="store_true", default=True)
+        t.add_argument("--no-augment", action="store_true",
+                       help="disable on-device train augmentation")
         t.set_defaults(fn=fn)
 
     e = sub.add_parser("eval")
@@ -155,6 +171,9 @@ def main(argv=None):
     e.add_argument("--ratio", type=float, default=1.0)
     e.add_argument("--latest", action="store_true",
                    help="evaluate the latest instead of the best checkpoint")
+    e.add_argument("--recalibrate-batches", type=int, default=0,
+                   help="refresh BN running stats over N train batches "
+                        "before predicting (needed after short trainings)")
     e.add_argument("--save-path", default="result.json")
     e.set_defaults(fn=cmd_eval)
 
