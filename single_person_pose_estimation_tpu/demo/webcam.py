@@ -168,3 +168,42 @@ async function streamFrame(overlayData) {
   return _spe_canvas.toDataURL('image/jpeg', 0.8);
 }
 """
+
+
+def run_on_video(demo, input_path: str, output_path: Optional[str] = None,
+                 max_frames: Optional[int] = None) -> int:
+    """Process a video FILE frame by frame: detect -> overlay composite;
+    optionally write the annotated video (the offline counterpart of the
+    reference's live webcam loop). Returns frames processed."""
+    import cv2
+
+    cap = cv2.VideoCapture(input_path)
+    if not cap.isOpened():
+        raise RuntimeError(f"cannot open video {input_path}")
+    writer = None
+    n = 0
+    try:
+        while max_frames is None or n < max_frames:
+            ok, frame_bgr = cap.read()
+            if not ok:
+                break
+            frame = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+            demo.detect(frame)
+            overlay = demo.create_overlay()
+            alpha = overlay[:, :, 3:4].astype(np.float32) / 255.0
+            comp = (frame.astype(np.float32) * (1 - alpha)
+                    + overlay[:, :, :3].astype(np.float32) * alpha
+                    ).astype(np.uint8)
+            if output_path is not None:
+                if writer is None:
+                    fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
+                    writer = cv2.VideoWriter(
+                        output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                        (comp.shape[1], comp.shape[0]))
+                writer.write(cv2.cvtColor(comp, cv2.COLOR_RGB2BGR))
+            n += 1
+    finally:
+        cap.release()
+        if writer is not None:
+            writer.release()
+    return n

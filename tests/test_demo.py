@@ -162,3 +162,24 @@ def test_model_utils_checkpoint_listing(tmp_path):
     restored, meta = model_utils.load_model_from_checkpoint(
         model, str(tmp_path / "ck"), input_shape=(1, 64, 64, 3))
     assert meta["epoch"] == 2
+
+
+def test_run_on_video(tmp_path, demo):
+    """Offline video processing: synthesize a tiny mp4, annotate it."""
+    import cv2
+
+    src = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10, (96, 64))
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        w.write(rng.integers(0, 255, (64, 96, 3)).astype(np.uint8))
+    w.release()
+
+    out = str(tmp_path / "out.mp4")
+    n = webcam.run_on_video(demo, src, out, max_frames=4)
+    assert n == 4
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    ok, frame = cap.read()
+    cap.release()
+    assert ok and frame.shape == (64, 96, 3)
