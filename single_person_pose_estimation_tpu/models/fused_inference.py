@@ -140,6 +140,10 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
     outputs = []
     for i in range(num_stacks):
         name = f"hg{i}"
+        # NOTE: a pool-fused downsample variant (fused_bottleneck_pool) was
+        # measured SLOWER end-to-end (1785 vs 2268 img/s): its 64x64 level
+        # needs a raised VMEM budget, which costs Mosaic the headroom it
+        # uses for double-buffered block DMA. Pools stay on XLA.
         f1 = bneck(x=y, name=name + "_downsample_f1")
         pd = _maxpool(f1)
         f2 = bneck(x=pd, name=name + "_downsample_f2")

@@ -107,3 +107,91 @@ def bn_affine(scale, bias, mean, var, eps: float = 1e-3):
     """Fold inference BatchNorm into (a, c): bn(v) = a*v + c."""
     a = scale / jnp.sqrt(var + eps)
     return a, bias - mean * a
+
+
+def _bottleneck_pool_kernel(x_ref, w1_ref, w2_ref, w3_ref, b_ref,
+                            a1_ref, c1_ref, a2_ref, c2_ref, a3_ref, c3_ref,
+                            out_ref, pooled_ref, *, H, W, Cin, Cmid):
+    """Bottleneck + fused 2x2/s2 maxpool epilogue (two outputs)."""
+    x = x_ref[0]
+    xf = x.reshape(H * W, Cin)
+    z1 = jnp.dot(xf, w1_ref[...],
+                 preferred_element_type=jnp.float32) + b_ref[0:1, :Cmid]
+    t1 = jnp.maximum(z1, 0.0) * a1_ref[...] + c1_ref[...]
+    t1 = t1.astype(x.dtype).reshape(H, W, Cmid)
+    t1p = jnp.pad(t1, ((1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((H * W, Cmid), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            sl = t1p[dy:dy + H, dx:dx + W, :].reshape(H * W, Cmid)
+            acc = acc + jnp.dot(sl, w2_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+    t2 = jnp.maximum(acc + b_ref[1:2, :Cmid], 0.0) * a2_ref[...] + c2_ref[...]
+    t2 = t2.astype(x.dtype)
+    z3 = jnp.dot(t2, w3_ref[...],
+                 preferred_element_type=jnp.float32) + b_ref[2:3, :Cin]
+    t3 = jnp.maximum(z3, 0.0) * a3_ref[...] + c3_ref[...]
+    # Residual add in the input dtype (identical at f32; saves a 4MB f32
+    # buffer at bf16 — this variant was 410KB over the 16MB VMEM budget).
+    out = (xf + t3.astype(x.dtype)).reshape(H, W, Cin)
+    out_ref[0] = out
+    # 2x2/s2 maxpool in VMEM via reshape-splits (strided slices would lower
+    # to unsupported gathers); minor dim C is untouched by both reshapes.
+    p = jnp.max(out.reshape(H // 2, 2, W, Cin), axis=1)     # (H/2, W, C)
+    pooled_ref[0] = jnp.max(p.reshape(H // 2, W // 2, 2, Cin), axis=2)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_bottleneck_pool(x, w1, b1, w2, b2, w3, b3,
+                          a1, c1, a2, c2, a3, c3, interpret: bool = False):
+    """Like fused_bottleneck but ALSO returns the 2x2/s2 maxpool of the
+    output, computed in VMEM. Returns (out, pooled).
+
+    Measured (v5e, S4/256 fused path, B=128): a NET REGRESSION — 1785 vs
+    2268 img/s with XLA pools. The 64x64x256 level needs vmem_limit_bytes
+    raised past Mosaic's 16MB default, and that extra budget removes the
+    headroom Mosaic uses to double-buffer block DMAs, serializing the
+    pipeline. Kept as a documented experiment; fused_apply uses XLA pools."""
+    B, H, W, Cin = x.shape
+    Cmid = w1.shape[1]
+    dt = x.dtype
+    bmax = max(Cin, Cmid)
+    b_tab = jnp.zeros((3, bmax), jnp.float32)
+    b_tab = b_tab.at[0, :Cmid].set(b1.astype(jnp.float32))
+    b_tab = b_tab.at[1, :Cmid].set(b2.astype(jnp.float32))
+    b_tab = b_tab.at[2, :Cin].set(b3.astype(jnp.float32))
+
+    kernel = partial(_bottleneck_pool_kernel, H=H, W=W, Cin=Cin, Cmid=Cmid)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, Cin), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(), full(), full(), full(),
+            full(), full(), full(), full(), full(), full(),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, H, W, Cin), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H // 2, W // 2, Cin), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W, Cin), dt),
+            jax.ShapeDtypeStruct((B, H // 2, W // 2, Cin), dt),
+        ),
+        # The 64x64x256 level sits ~0.5MB over Mosaic's default 16MB scoped
+        # budget (pool-epilogue temporaries); v5e VMEM comfortably covers it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+        interpret=interpret,
+    )(x,
+      w1.astype(dt), w2.astype(dt), w3.astype(dt), b_tab,
+      a1.reshape(1, -1).astype(jnp.float32),
+      c1.reshape(1, -1).astype(jnp.float32),
+      a2.reshape(1, -1).astype(jnp.float32),
+      c2.reshape(1, -1).astype(jnp.float32),
+      a3.reshape(1, -1).astype(jnp.float32),
+      c3.reshape(1, -1).astype(jnp.float32))

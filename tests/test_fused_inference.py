@@ -97,3 +97,30 @@ def test_fused_apply_with_level_fusion_matches_flax():
                       interpret=True, fuse_levels=True)
     for a, b in zip(want, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_bottleneck_pool_kernel():
+    """Pool-epilogue variant (kept as a documented experiment): output and
+    pooled output must match the base kernel + a reference maxpool."""
+    from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
+        bn_affine,
+        fused_bottleneck,
+        fused_bottleneck_pool,
+    )
+
+    rng = np.random.default_rng(1)
+    B, H, W, C, Cm = 2, 16, 16, 32, 16
+    args = [jnp.asarray(rng.uniform(-1, 1, (B, H, W, C)).astype(np.float32)),
+            jnp.asarray(rng.uniform(-.2, .2, (C, Cm)).astype(np.float32)),
+            jnp.asarray(rng.uniform(-.1, .1, (Cm,)).astype(np.float32)),
+            jnp.asarray(rng.uniform(-.2, .2, (3, 3, Cm, Cm)).astype(np.float32)),
+            jnp.asarray(rng.uniform(-.1, .1, (Cm,)).astype(np.float32)),
+            jnp.asarray(rng.uniform(-.2, .2, (Cm, C)).astype(np.float32)),
+            jnp.asarray(rng.uniform(-.1, .1, (C,)).astype(np.float32))]
+    affs = [jnp.asarray(rng.uniform(0.5, 1.5, (n,)).astype(np.float32))
+            for n in (Cm, Cm, Cm, Cm, C, C)]
+    want = np.asarray(fused_bottleneck(*args, *affs, interpret=True))
+    got, pooled = fused_bottleneck_pool(*args, *affs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+    ref_pool = want.reshape(B, H // 2, 2, W // 2, 2, C).max((2, 4))
+    np.testing.assert_allclose(np.asarray(pooled), ref_pool, atol=1e-5)
