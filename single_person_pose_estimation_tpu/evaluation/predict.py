@@ -63,9 +63,8 @@ def predict_ds(
     for images, metas in ds_prediction:
         kps = np.asarray(fn(state.params, state.batch_stats,
                             jnp.asarray(images)))
-        hm_h = hm_w = None
-        # decode returns heatmap-space coords; normalize by heatmap dims.
-        # The model's label resolution is images/4 by construction.
+        # decode returns heatmap-space coords; normalize by heatmap dims
+        # (the model's label resolution is input/4 by construction).
         hm_h = images.shape[1] // 4
         hm_w = images.shape[2] // 4
         for j, meta in enumerate(metas):
