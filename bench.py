@@ -57,7 +57,43 @@ def bench_inference(num_stacks=4, num_channels=256, batch=128, iters=20,
     return batch * iters / dt
 
 
+def bench_train_step(batch=64, iters=12):
+    """Full fused training-step throughput (augment + heatmap targets +
+    fwd/bwd + Adam in one XLA program). Secondary metric; enabled with
+    BENCH_TRAIN=1 since its first compile takes ~2 min through the tunnel."""
+    from single_person_pose_estimation_tpu import losses
+    from single_person_pose_estimation_tpu.configs.default_config import Config
+    from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
+    from single_person_pose_estimation_tpu.training import steps
+
+    cfg = Config()
+    model = StackedHourglass(num_stacks=4, num_channels=256,
+                             compute_dtype=jnp.bfloat16)
+    tx = steps.make_optimizer(1e-3)
+    state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0))
+    data = {
+        "image": jax.device_put(jax.random.uniform(
+            jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.float32)),
+        "kx": jax.device_put(
+            jax.random.uniform(jax.random.PRNGKey(2), (batch, 17)) * 64),
+        "ky": jax.device_put(
+            jax.random.uniform(jax.random.PRNGKey(3), (batch, 17)) * 64),
+        "kv": jax.device_put(jnp.full((batch, 17), 2, jnp.int32)),
+    }
+    train_step = steps.make_train_step(model, tx, losses.iou, cfg,
+                                       augment=True)
+    state, m = train_step(state, data)
+    float(m["loss"])  # compile + drain
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = train_step(state, data)
+    float(m["loss"])
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def main():
+    import os
+
     # Persistent compile cache keeps repeat bench runs fast (first compile of
     # the S4 model through the TPU tunnel can take minutes).
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
@@ -72,6 +108,8 @@ def main():
         "batch": batch,
         "device": str(jax.devices()[0]),
     }
+    if os.environ.get("BENCH_TRAIN") == "1":
+        result["train_images_per_sec"] = round(bench_train_step(), 1)
     print(json.dumps(result))
 
 

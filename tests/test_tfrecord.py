@@ -173,3 +173,57 @@ def test_tf_writer_readable_by_us(tmp_path):
     np.testing.assert_allclose(out["keypoints/x"], feats["keypoints/x"])
     assert out["keypoints/vis"] == feats["keypoints/vis"]
     np.testing.assert_allclose(out["bbox_x"], feats["bbox_x"])
+
+
+def test_tf_written_full_schema_through_pipeline(tmp_path):
+    """Interop: a record written by TensorFlow with the reference's full
+    14-feature schema must flow through OUR pipeline parsers (train and
+    prediction) with correct values — the reference's shards are directly
+    consumable."""
+    tf = _tf()
+    from single_person_pose_estimation_tpu.configs.default_config import Config
+    from single_person_pose_estimation_tpu.data import pipeline
+    from single_person_pose_estimation_tpu.data.images import encode_jpeg
+
+    rng = np.random.default_rng(5)
+    crop = rng.integers(0, 255, (80, 80, 3)).astype(np.uint8)
+    jpeg = encode_jpeg(crop)
+    K = 17
+    xs = [float(5 + 4 * k) for k in range(K)]
+    ys = [float(7 + 3 * k) for k in range(K)]
+    vs = [2] * K
+
+    def bl(v): return tf.train.Feature(bytes_list=tf.train.BytesList(value=v))
+    def fl(v): return tf.train.Feature(float_list=tf.train.FloatList(value=v))
+    def il(v): return tf.train.Feature(int64_list=tf.train.Int64List(value=v))
+
+    ex = tf.train.Example(features=tf.train.Features(feature={
+        "ann_id": il([42]), "image_id": il([7]),
+        "image": bl([jpeg]), "image_path": bl([b"x.jpg"]),
+        "coco_url": bl([b"http://x"]),
+        "width": il([80]), "height": il([80]),
+        "keypoints/x": fl(xs), "keypoints/y": fl(ys),
+        "keypoints/vis": il(vs), "keypoints/num": il([K]),
+        "bbox_x": fl([-3.5]), "bbox_y": fl([10.0]),
+        "original_bbox": fl([1.0, 2.0, 30.0, 40.0]),
+    }))
+    path = str(tmp_path / "ref_style.tfrec")
+    with tf.io.TFRecordWriter(path) as w:
+        w.write(ex.SerializeToString())
+
+    cfg = Config().replace(image_height=64, image_width=64,
+                           label_height=16, label_width=16)
+    record = next(tfrecord.iter_records(path))
+
+    parsed = pipeline._parse_example(record, cfg, training=True)
+    assert parsed["image"].shape == (64, 64, 3)
+    np.testing.assert_allclose(parsed["kx"],
+                               np.asarray(xs) / 80 * 16, rtol=1e-5)
+    np.testing.assert_allclose(parsed["ky"],
+                               np.asarray(ys) / 80 * 16, rtol=1e-5)
+    assert parsed["kv"].tolist() == vs
+
+    img, meta = pipeline._parse_prediction_example(record, cfg)
+    assert meta["ann_id"] == 42 and meta["image_id"] == 7
+    assert meta["bbox_x"] == -3.5 and meta["bbox_w"] == 80
+    np.testing.assert_allclose(meta["original_bbox"], [1, 2, 30, 40])
