@@ -202,6 +202,13 @@ class StackedHourglass(nn.Module):
     # ------------------------------------------------------------------
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        if x.ndim != 4 or x.shape[1] % 64 or x.shape[2] % 64:
+            # 2 front downsamples + 4 hourglass levels + bottom pool = /64;
+            # anything else fails deep in the upsample adds with an opaque
+            # broadcast error (same constraint as the reference model).
+            raise ValueError(
+                f"input must be (B, H, W, 3) with H and W divisible by 64; "
+                f"got {x.shape}")
         x = x.astype(self.compute_dtype)
         c = self.num_channels
 

@@ -117,3 +117,12 @@ def test_gradients_flow_to_all_stacks():
     for name in ("hg0_conv_1x1_predict", "hg1_conv_1x1_predict"):
         g = grads[name]["kernel"]
         assert float(jnp.abs(g).max()) > 0
+
+
+def test_invalid_input_size_clear_error():
+    m = StackedHourglass(num_stacks=1, num_channels=16)
+    with pytest.raises(ValueError, match="divisible by 64"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 100, 100, 3)),
+               train=False)
+    with pytest.raises(ValueError, match="divisible by 64"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)), train=False)
