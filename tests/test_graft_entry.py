@@ -1,0 +1,56 @@
+"""Driver-contract regression tests for __graft_entry__.py.
+
+Round-1 failure mode (VERDICT.md Weak #1): the driver invokes
+dryrun_multichip directly, in a fresh interpreter, with NO env pre-set —
+sitecustomize latches the axon TPU platform and the function saw 1 device.
+These tests reproduce the driver's exact invocation in a subprocess, so any
+regression in the self-configuration path fails here first.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_in_clean_subprocess(code: str) -> subprocess.CompletedProcess:
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # Strip everything conftest.py set up: the function must
+        # self-configure the spoofed CPU mesh (VERDICT.md Next #1).
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")
+    }
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=900,
+    )
+
+
+def test_dryrun_multichip_self_configures():
+    # Exactly the driver's call: import the function, call it with n=8.
+    proc = _run_in_clean_subprocess(
+        "from __graft_entry__ import dryrun_multichip\n"
+        "dryrun_multichip(8)\n"
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
+    assert "dp x tp" in proc.stdout  # 8 devices -> 2-D (data, model) mesh
+
+
+def test_dryrun_multichip_after_backend_initialized():
+    # Worst case: the caller already initialized a backend (e.g. ran
+    # entry() on the TPU first). _force_cpu_mesh must clear + reconfigure.
+    proc = _run_in_clean_subprocess(
+        "import jax\n"
+        "jax.devices()\n"  # force backend init on whatever platform
+        "from __graft_entry__ import dryrun_multichip\n"
+        "dryrun_multichip(8)\n"
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
