@@ -85,6 +85,43 @@ def build_keras_hourglass(num_classes=17, num_stacks=1, num_channels=64,
     return Model(inputs=inp, outputs=outputs)
 
 
+def randomize_keras_weights_scaled(model, seed=0):
+    """Fan-in-scaled random weights + contracting BN gammas.
+
+    The plain randomizer's uniform(-0.15, 0.15) kernels explode activations
+    at 256 channels (layer gain ~ sqrt(fan_in * var) >> 1), saturating the
+    sigmoid heads and making flagship-geometry parity checks vacuous
+    (every output pinned at exactly 0/1). Here kernels are ~glorot
+    (a = sqrt(3/fan_in)) and BN gamma in (0.3, 0.6) contracts the residual
+    adds' variance growth, so S4/256 @ 256x256 outputs stay in the
+    sigmoid's responsive range and f32 rounding stays ~1e-6.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    for layer in model.layers:
+        cls = type(layer).__name__
+        ws = layer.get_weights()
+        if cls == "BatchNormalization":
+            layer.set_weights([
+                rng.uniform(0.3, 0.6, ws[0].shape).astype(np.float32),
+                rng.uniform(-0.05, 0.05, ws[1].shape).astype(np.float32),
+                rng.uniform(-0.1, 0.1, ws[2].shape).astype(np.float32),
+                rng.uniform(0.8, 1.2, ws[3].shape).astype(np.float32),
+            ])
+        elif ws:
+            new = []
+            for w in ws:
+                if w.ndim >= 2:
+                    fan_in = int(np.prod(w.shape[:-1]))
+                    a = np.sqrt(3.0 / fan_in)
+                    new.append(rng.uniform(-a, a, w.shape).astype(np.float32))
+                else:
+                    new.append(
+                        rng.uniform(-0.05, 0.05, w.shape).astype(np.float32))
+            layer.set_weights(new)
+
+
 def randomize_keras_weights(model, seed=0):
     """Non-trivial weights everywhere, incl. BN moving stats (mean != 0,
     var != 1), so parity tests exercise the full mapping."""
