@@ -214,7 +214,10 @@ def augment_photometric(
 
     max_val = jnp.max(image)
     min_val = jnp.min(image)
-    return (image - min_val) / (max_val - min_val)
+    # eps guards the constant-image case (black frame / dead camera): the
+    # reference divides by zero here (dataset_builder.py:214-217) and emits
+    # NaNs into training; that is a flaw, not parity-visible semantics.
+    return (image - min_val) / jnp.maximum(max_val - min_val, 1e-6)
 
 
 @partial(jax.jit, static_argnames=("label_size", "flip_pairs",

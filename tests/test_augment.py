@@ -103,6 +103,20 @@ def test_photometric_range_and_shape():
     np.testing.assert_allclose(float(jnp.max(out)), 1.0, atol=1e-6)
 
 
+def test_photometric_constant_image_no_nan():
+    """A constant (e.g. black) frame must not NaN the training path.
+
+    The reference's min-max renorm divides by zero here
+    (dataset_builder.py:214-217); our version epsilon-guards it
+    (VERDICT.md Weak #6)."""
+    for value in (0.0, 0.5, 1.0):
+        img = jnp.full((64, 64, 3), value)
+        out = augment.augment_photometric(jax.random.PRNGKey(6), img)
+        assert np.isfinite(np.asarray(out)).all(), f"NaN at value={value}"
+        assert float(jnp.min(out)) >= -1e-6
+        assert float(jnp.max(out)) <= 1 + 1e-6
+
+
 def test_hsv_round_trip():
     rgb = jax.random.uniform(jax.random.PRNGKey(5), (32, 32, 3))
     back = augment.hsv_to_rgb(augment.rgb_to_hsv(rgb))

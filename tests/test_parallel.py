@@ -49,6 +49,22 @@ def test_shard_batch_layout():
     assert len(shard_shapes) == 8
 
 
+def test_shard_local_batch_single_process():
+    """Multi-host assembly path at process_count=1: the local batch IS the
+    global batch, values and sharding must match shard_batch exactly
+    (VERDICT.md Weak #7 — this seam had zero coverage)."""
+    assert jax.process_count() == 1
+    mesh = mesh_lib.create_mesh((-1,), ("data",))
+    batch = make_batch(16)
+    local = mesh_lib.shard_local_batch(batch, mesh)
+    ref = mesh_lib.shard_batch(batch, mesh)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(local[k]),
+                                      np.asarray(ref[k]))
+        assert local[k].sharding == ref[k].sharding
+        assert len(local[k].addressable_shards) == 8
+
+
 def test_pad_batch_to_devices():
     batch, n = mesh_lib.pad_batch_to_devices(make_batch(13), 8)
     assert n == 13
