@@ -120,6 +120,103 @@ def test_area_ranges():
     assert stats[4] == -1.0                  # AP large: no GT -> -1
 
 
+def test_crowd_gt_repeat_matching():
+    """iscrowd=1 GTs may be matched by MULTIPLE detections, each demoted to
+    ignored (cocoeval evaluateImg's `not iscrowd[gind]` guard). Two dets on
+    the crowd must both be absorbed — if the second became an FP between
+    the two TPs, interpolated AP would drop to ~0.835, not 1.0."""
+    kps_a, kps_crowd, kps_c = grid17(10, 10), grid17(200, 10), grid17(400, 10)
+    crowd = gt_person(1, 2, kps_crowd)
+    crowd["iscrowd"] = 1
+    annotations = {"images": [], "annotations": [
+        gt_person(1, 1, kps_a), crowd, gt_person(1, 3, kps_c)]}
+    dets = [det(1, kps_a, score=0.9),
+            det(1, kps_crowd, score=0.8),
+            det(1, kps_crowd, score=0.7),   # crowd matched AGAIN
+            det(1, kps_c, score=0.6)]
+    stats = oks_lib.KeypointEval(annotations, dets, image_ids=[1]).evaluate()
+    assert stats[0] == pytest.approx(1.0)   # AP
+    assert stats[5] == pytest.approx(1.0)   # AR
+
+
+def test_max_dets_truncation():
+    """Only the top-20 detections by score are evaluated (maxDets=20).
+    A perfect detection ranked 25th must be dropped -> AP and AR 0."""
+    kps = grid17()
+    junk = grid17(300, 300)
+    annotations = {"images": [], "annotations": [gt_person(1, 1, kps)]}
+    dets = [det(1, junk, score=0.99 - 0.01 * i) for i in range(24)]
+    dets.append(det(1, kps, score=0.1))     # perfect, but rank 25
+    stats = oks_lib.KeypointEval(annotations, dets, image_ids=[1]).evaluate()
+    assert stats[0] == pytest.approx(0.0)
+    assert stats[5] == pytest.approx(0.0)
+    # Control: at rank <= 20 the same perfect detection counts.
+    dets_ok = dets[:10] + [det(1, kps, score=0.1)]
+    stats = oks_lib.KeypointEval(annotations, dets_ok,
+                                 image_ids=[1]).evaluate()
+    assert stats[0] > 0.0
+    assert stats[5] == pytest.approx(1.0)
+
+
+def test_score_tie_keeps_insertion_order():
+    """Equal scores: mergesort stability preserves submission order, both
+    within an image and across images in accumulate. The perfect det listed
+    first must rank first (AP 1.0); an unstable sort would give 0.5."""
+    kps = grid17()
+    annotations = {"images": [], "annotations": [gt_person(1, 1, kps)]}
+    dets = [det(1, kps, score=0.5), det(1, grid17(300, 300), score=0.5)]
+    stats = oks_lib.KeypointEval(annotations, dets, image_ids=[1]).evaluate()
+    assert stats[0] == pytest.approx(1.0)
+
+    # Across images: img 1's TP precedes img 2's FP at equal score.
+    dets2 = [det(1, kps, score=0.5), det(2, grid17(300, 300), score=0.5)]
+    stats = oks_lib.KeypointEval(annotations, dets2,
+                                 image_ids=[1, 2]).evaluate()
+    assert stats[0] == pytest.approx(1.0)
+
+
+def test_detection_on_image_without_gt_is_fp():
+    """A detection on a GT-less image is a false positive. With the FP
+    scored ABOVE the true positive, every interpolated precision point is
+    1/2 -> AP exactly 0.5 while AR stays 1.0."""
+    kps = grid17()
+    annotations = {"images": [], "annotations": [gt_person(1, 1, kps)]}
+    dets = [det(1, kps, score=0.5), det(2, grid17(50, 50), score=0.9)]
+    stats = oks_lib.KeypointEval(annotations, dets,
+                                 image_ids=[1, 2]).evaluate()
+    assert stats[0] == pytest.approx(0.5)
+    assert stats[5] == pytest.approx(1.0)
+
+
+def test_real_gt_preferred_over_higher_oks_ignored_gt():
+    """cocoeval's demotion break: once a det matches a non-ignored GT, the
+    (sorted-last) ignored GTs cannot steal it even at higher OKS. The det
+    here has OKS ~0.99 to the real GT but 1.0 to an ignored whole-image
+    crowd box; it must still count as a TP."""
+    kps = grid17()
+    near = [(x + 1, y) for x, y in kps]     # ~0.99 OKS at area 10000
+    ignored = gt_person(1, 2, [(0, 0)] * 17, num_vis=0,
+                        area=250000.0, bbox=(0, 0, 500, 500))
+    ignored["keypoints"] = [0, 0, 0] * 17   # bbox-distance OKS path -> 1.0
+    annotations = {"images": [], "annotations": [
+        gt_person(1, 1, kps), ignored]}
+    stats = oks_lib.KeypointEval(annotations, [det(1, near)],
+                                 image_ids=[1]).evaluate()
+    assert stats[0] == pytest.approx(1.0)
+    assert stats[5] == pytest.approx(1.0)
+
+
+def test_all_gts_ignored_gives_minus_one():
+    """No countable GT anywhere -> stats stay -1 (cocoeval convention)."""
+    ignored = gt_person(1, 1, [(0, 0)] * 17, num_vis=0)
+    ignored["keypoints"] = [0, 0, 0] * 17
+    annotations = {"images": [], "annotations": [ignored]}
+    stats = oks_lib.KeypointEval(
+        annotations, [det(1, grid17(300, 300))], image_ids=[1]).evaluate()
+    assert stats[0] == -1.0
+    assert stats[5] == -1.0
+
+
 def test_eval_oks_entry_point(tmp_path):
     """eval_oks consumes predict_ds-format records and a GT json path."""
     kps = grid17()
