@@ -38,16 +38,32 @@ PersonDetector = Callable[[np.ndarray], Sequence[Tuple[float, float, float, floa
 
 def yolov5_adapter(yolo_model, conf_threshold: float = 0.0) -> PersonDetector:
     """Wrap a torch-hub YOLOv5 model (the reference's stage 1, demo.py:29-42)
-    into the PersonDetector interface: RGB image -> [(x, y, w, h, conf)]."""
+    into the PersonDetector interface: RGB image -> [(x, y, w, h, conf)].
+
+    Handles both YOLOv5 result APIs: the raw tensor `results.xyxy[0]`
+    ((N, 6) rows [xmin, ymin, xmax, ymax, conf, cls], person class == 0)
+    and the pandas `results.pandas().xyxy[0]` the reference uses
+    (columns xmin/ymin/xmax/ymax/confidence/class/name, filtered on
+    name == 'person' and confidence strictly > threshold, demo.py:32)."""
 
     def detect(image: np.ndarray):
         results = yolo_model(image)
         boxes = []
-        # results.xyxy[0]: (N, 6) tensor [xmin, ymin, xmax, ymax, conf, cls];
-        # person class == 0.
-        for row in np.asarray(results.xyxy[0]):
-            xmin, ymin, xmax, ymax, conf, cls = row[:6]
-            if int(cls) == 0 and conf > conf_threshold:
+        xyxy = getattr(results, "xyxy", None)
+        if xyxy is not None:
+            for row in np.asarray(xyxy[0]):
+                xmin, ymin, xmax, ymax, conf, cls = row[:6]
+                if int(cls) == 0 and conf > conf_threshold:
+                    boxes.append((float(xmin), float(ymin),
+                                  float(xmax - xmin), float(ymax - ymin),
+                                  float(conf)))
+        else:
+            df = results.pandas().xyxy[0]
+            df = df[(df["name"] == "person")
+                    & (df["confidence"] > conf_threshold)]
+            for xmin, ymin, xmax, ymax, conf in zip(
+                    df["xmin"], df["ymin"], df["xmax"], df["ymax"],
+                    df["confidence"]):
                 boxes.append((float(xmin), float(ymin),
                               float(xmax - xmin), float(ymax - ymin),
                               float(conf)))
@@ -150,6 +166,12 @@ class Demo:
     # ------------------------------------------------------------------
 
     def _plot_skeletons(self, ax, to_image_coords: bool = True):
+        """Skeleton edges colored per keypoint from the config palette
+        (cfg.keypoint_colors; reference visualization_utils.py:5-16 +
+        COCO_KEYPOINT_COLORS, default_config.py:70-78): each edge takes the
+        color of its second endpoint's keypoint, plus per-keypoint scatter
+        markers in their own colors."""
+        colors = self.cfg.keypoint_colors
         for keypoints, bbox in zip(self.keypoints_list, self.square_bboxes):
             xs, ys = keypoints[:, 0], keypoints[:, 1]
             for a, b in self.skeleton:
@@ -160,7 +182,16 @@ class Demo:
                                (y1 * bbox[3] + bbox[1], y2 * bbox[3] + bbox[1]))
                     else:
                         pts = ((x1, x2), (y1, y2))
-                    ax.plot(*pts, marker="o", linewidth=5, markersize=7)
+                    ax.plot(*pts, linewidth=5,
+                            color=colors[int(b) % len(colors)])
+            for i, (x, y) in enumerate(zip(xs, ys)):
+                if x and y:
+                    if to_image_coords:
+                        px, py = x * bbox[2] + bbox[0], y * bbox[3] + bbox[1]
+                    else:
+                        px, py = x, y
+                    ax.scatter(px, py, s=49, c=colors[i % len(colors)],
+                               zorder=3)
 
     def show(self, figsize=(12, 12), show_bboxes: bool = False,
              save: bool = False, save_path: str = "saved_file.png"):
@@ -210,10 +241,15 @@ class Demo:
             ax.imshow(np.clip(img, 0, 1))
             xs = keypoints[:, 0] * img.shape[1]
             ys = keypoints[:, 1] * img.shape[0]
+            colors = self.cfg.keypoint_colors
             for a, b in self.skeleton:
                 if xs[a] and ys[a] and xs[b] and ys[b]:
-                    ax.plot((xs[a], xs[b]), (ys[a], ys[b]),
-                            marker="o", linewidth=5, markersize=7)
+                    ax.plot((xs[a], xs[b]), (ys[a], ys[b]), linewidth=5,
+                            color=colors[int(b) % len(colors)])
+            for k, (x, y) in enumerate(zip(xs, ys)):
+                if x and y:
+                    ax.scatter(x, y, s=49, c=colors[k % len(colors)],
+                               zorder=3)
             ax.set_title(f"Image: {i + 1}")
             ax.axis("off")
         plt.show()

@@ -1,6 +1,8 @@
 """Demo tests: two-stage detect with a stub person detector, crop/keypoint
 geometry, rendering paths, webcam codec helpers."""
 
+import os
+
 import matplotlib
 
 matplotlib.use("Agg")
@@ -113,6 +115,92 @@ def test_overlay_alpha_masks_background(demo):
     overlay = demo.create_overlay()
     # transparent where nothing drawn
     assert (overlay[:, :, 3] == 0).any()
+
+
+YOLO_FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "fixtures", "yolov5_xyxy.npz")
+
+
+def test_yolov5_adapter_tensor_api():
+    """yolov5_adapter against a recorded results.xyxy[0]-format tensor
+    (VERDICT.md Missing #4): person-class filter, strict > threshold,
+    xyxy -> xywh conversion."""
+    import torch
+
+    from single_person_pose_estimation_tpu.demo.demo import yolov5_adapter
+
+    data = np.load(YOLO_FIXTURE)
+
+    class StubResults:
+        xyxy = [torch.from_numpy(data["xyxy"])]
+
+    detect = yolov5_adapter(lambda img: StubResults(), conf_threshold=0.25)
+    boxes = detect(np.zeros((480, 640, 3), np.uint8))
+    # 4 person rows; conf==0.25 dropped (strict >) -> 3 kept, score order
+    # as recorded (adapter preserves row order).
+    assert len(boxes) == 3
+    x, y, w, h, conf = boxes[0]
+    np.testing.assert_allclose((x, y), (105.31, 80.24), rtol=1e-5)
+    np.testing.assert_allclose((w, h), (215.66 - 105.31, 410.88 - 80.24),
+                               rtol=1e-5)
+    assert conf == pytest.approx(0.9213, rel=1e-5)
+    assert all(b[4] > 0.25 for b in boxes)
+    # dog/car/chair rows never leak through
+    assert not any(abs(b[0] - 310.47) < 1e-3 for b in boxes)
+
+
+def test_yolov5_adapter_pandas_api():
+    """The reference's own access pattern: results.pandas().xyxy[0] with
+    name/confidence columns (reference demo.py:31-32)."""
+    import pandas as pd
+
+    from single_person_pose_estimation_tpu.demo.demo import yolov5_adapter
+
+    data = np.load(YOLO_FIXTURE)
+    xyxy = data["xyxy"]
+    df = pd.DataFrame({
+        "xmin": xyxy[:, 0], "ymin": xyxy[:, 1],
+        "xmax": xyxy[:, 2], "ymax": xyxy[:, 3],
+        "confidence": xyxy[:, 4], "class": xyxy[:, 5].astype(int),
+        "name": [str(n) for n in data["names"]],
+    })
+
+    class PandasView:
+        xyxy = [df]
+
+    class StubResults:
+        xyxy = None  # force the pandas fallback
+
+        def pandas(self):
+            return PandasView()
+
+    detect = yolov5_adapter(lambda img: StubResults(), conf_threshold=0.25)
+    boxes = detect(np.zeros((480, 640, 3), np.uint8))
+    assert len(boxes) == 3
+    np.testing.assert_allclose(boxes[1][:2], (240.88, 110.40), rtol=1e-5)
+
+
+def test_skeleton_rendering_uses_config_colors(demo):
+    """Edges and markers take per-keypoint colors from the config palette
+    (reference COCO_KEYPOINT_COLORS, default_config.py:70-78)."""
+    import matplotlib.colors as mcolors
+    import matplotlib.pyplot as plt
+
+    image = np.random.default_rng(2).uniform(
+        0, 255, (120, 160, 3)).astype(np.uint8)
+    demo.detect(image)
+    fig, ax = plt.subplots()
+    demo._plot_skeletons(ax)
+    palette = {mcolors.to_rgba(c) for c in CFG.keypoint_colors}
+    lines = ax.get_lines()
+    assert lines, "no skeleton edges drawn"
+    for line in lines:
+        assert mcolors.to_rgba(line.get_color()) in palette
+    assert ax.collections, "no keypoint markers drawn"
+    for coll in ax.collections:
+        for c in coll.get_facecolor():
+            assert tuple(c) in palette
+    plt.close(fig)
 
 
 def test_webcam_codec_round_trip():
