@@ -11,20 +11,22 @@ intermediate HBM traffic — run via ops.pallas.bottleneck_kernel.
 
 Inference only (running BN statistics; no gradient path).
 
-Measured (v5e, S4/256, B=128, bf16): per-grid-step kernel time is near the
-compute bound (~9us vs ~8.8us of MXU issue). End-to-end progression:
-bottleneck fusion alone 1814 img/s; + level fusion (fuse_levels=True,
-ops.pallas.uplevel_kernel folds short-bottleneck + 2x upsample + add +
-merged-bottleneck of each decoder level into one kernel) 2268 img/s; plain
-XLA model 2342 img/s. XLA's conv-epilogue fusion of the remaining glue
-(downsample pools, heads, front, inter-stack residuals) still edges it
-out, so the default inference path remains the flax/XLA model; these
-kernels are the measured, tested base for closing the remaining gap (pool-fused
-downsample bottlenecks, whole-decoder kernels). Numerics: exact vs
-model.apply at f32 (<=7e-6) for both fusion levels; at bf16 stack-0
-divergence is rounding-level (~1e-2) and compounds through the
-inter-stack feedback as with any reordered bf16 accumulation (these
-kernels accumulate in f32 — more precisely than the bf16 XLA path).
+Measured (v5e, S4/256, B=128, bf16), round-2 progression:
+  * round 1: per-image grids — bottlenecks 1814, + level fusion 2268,
+    vs plain XLA 2342-2373 img/s (XLA won);
+  * batch-blocked grids (pick_nimg: weight DMA amortized, small levels'
+    matmuls MXU-filling): 2321;
+  * + pool fusion at the <=32px levels (pool_fuse_max_h=32; the 64px
+    level keeps the XLA pool — fusing it costs Mosaic's double-buffer
+    headroom, 3015 vs 3128): 2474;
+  * + fused head/inter-stack glue (ops.pallas.head_kernel — the 1x1-conv
+    chain was ~16 MB/image/stack of HBM round trips, cut to ~7): 3128
+    img/s, +33% over XLA. This configuration is bench.py's default path.
+Numerics: exact vs model.apply at f32 (<=7e-6) for all fusion levels
+(tests/test_fused_inference.py); at bf16 divergence is rounding-level
+(~1e-2) and compounds through the inter-stack feedback as with any
+reordered bf16 accumulation (these kernels accumulate in f32 — more
+precisely than the bf16 XLA path).
 """
 
 from __future__ import annotations
@@ -39,6 +41,11 @@ from jax import lax
 from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
     bn_affine,
     fused_bottleneck,
+    fused_bottleneck_pool,
+    pick_nimg,
+)
+from single_person_pose_estimation_tpu.ops.pallas.head_kernel import (
+    fused_head,
 )
 from single_person_pose_estimation_tpu.ops.pallas.uplevel_kernel import (
     fused_uplevel,
@@ -95,12 +102,24 @@ def _bneck_params(params, stats, name):
             "a1": a1, "c1": c1, "a2": a2, "c2": c2, "a3": a3, "c3": c3}
 
 
-def _bottleneck_fused(params, stats, x, name, interpret):
+def _bottleneck_fused(params, stats, x, name, interpret, rows=4096):
     p = _bneck_params(params, stats, name)
+    B, H, W, _ = x.shape
     return fused_bottleneck(
         x, p["w1"], p["b1"], p["w2"], p["b2"], p["w3"], p["b3"],
         p["a1"], p["c1"], p["a2"], p["c2"], p["a3"], p["c3"],
-        interpret=interpret)
+        interpret=interpret, nimg=pick_nimg(B, H, W, rows))
+
+
+def _bottleneck_pool_fused(params, stats, x, name, interpret, rows=4096):
+    """Bottleneck with the 2x2/s2 maxpool fused as a VMEM epilogue;
+    returns (out, pooled)."""
+    p = _bneck_params(params, stats, name)
+    B, H, W, _ = x.shape
+    return fused_bottleneck_pool(
+        x, p["w1"], p["b1"], p["w2"], p["b2"], p["w3"], p["b3"],
+        p["a1"], p["c1"], p["a2"], p["c2"], p["a3"], p["c3"],
+        interpret=interpret, nimg=pick_nimg(B, H, W, rows))
 
 
 def _maxpool(x):
@@ -115,13 +134,24 @@ def _upsample2x(x):
 
 
 @partial(jax.jit, static_argnames=("num_stacks", "compute_dtype", "interpret",
-                                   "fuse_levels"))
+                                   "fuse_levels", "bneck_rows",
+                                   "uplevel_rows", "pool_fuse_max_h",
+                                   "fuse_heads"))
 def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 compute_dtype=jnp.bfloat16,
                 interpret: bool = False,
-                fuse_levels: bool = False) -> List[jnp.ndarray]:
+                fuse_levels: bool = False,
+                bneck_rows: int = 4096,
+                uplevel_rows: int = 4096,
+                pool_fuse_max_h: int = 0,
+                fuse_heads: bool = False) -> List[jnp.ndarray]:
     """Drop-in for `model.apply(variables, images, train=False)` on the
-    non-mobile hourglass, with Pallas-fused hourglass bottlenecks."""
+    non-mobile hourglass, with Pallas-fused hourglass bottlenecks.
+
+    bneck_rows / uplevel_rows: batch-blocking targets (spatial rows per
+    grid step) for the two kernels — see ops.pallas.bottleneck_kernel
+    .pick_nimg. pool_fuse_max_h: fuse the downsample maxpool into the
+    producing bottleneck kernel for levels with H <= this (0 = never)."""
     params = variables["params"]
     stats = variables["batch_stats"]
     x = images.astype(compute_dtype)
@@ -135,23 +165,29 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
     y = _bottleneck_xla(params, stats, y, "front_bottleneck_2", c // 2)
     y = _bottleneck_xla(params, stats, y, "front_bottleneck_3", c)
 
-    bneck = partial(_bottleneck_fused, params, stats, interpret=interpret)
+    bneck = partial(_bottleneck_fused, params, stats, interpret=interpret,
+                    rows=bneck_rows)
+
+    def down(x, name):
+        """Downsample bottleneck: returns (level_output, pooled)."""
+        if x.shape[1] <= pool_fuse_max_h:
+            return _bottleneck_pool_fused(params, stats, x, name,
+                                          interpret=interpret,
+                                          rows=bneck_rows)
+        out = bneck(x=x, name=name)
+        return out, _maxpool(out)
 
     outputs = []
     for i in range(num_stacks):
         name = f"hg{i}"
-        # NOTE: a pool-fused downsample variant (fused_bottleneck_pool) was
-        # measured SLOWER end-to-end (1785 vs 2268 img/s): its 64x64 level
-        # needs a raised VMEM budget, which costs Mosaic the headroom it
-        # uses for double-buffered block DMA. Pools stay on XLA.
-        f1 = bneck(x=y, name=name + "_downsample_f1")
-        pd = _maxpool(f1)
-        f2 = bneck(x=pd, name=name + "_downsample_f2")
-        pd = _maxpool(f2)
-        f4 = bneck(x=pd, name=name + "_downsample_f4")
-        pd = _maxpool(f4)
-        f8 = bneck(x=pd, name=name + "_downsample_f8")
-        b = _maxpool(f8)
+        # NOTE (round 1): pool fusion at ALL levels was slower (1785 vs
+        # 2268 img/s) — the 64x64 level's raised VMEM budget cost Mosaic
+        # its double-buffering headroom. pool_fuse_max_h lets the small
+        # levels fuse their pools while 64x64 keeps the XLA pool.
+        f1, pd = down(y, name + "_downsample_f1")
+        f2, pd = down(pd, name + "_downsample_f2")
+        f4, pd = down(pd, name + "_downsample_f4")
+        f8, b = down(pd, name + "_downsample_f8")
         b = bneck(x=b, name=name + "_downsample_f8_1")
         b = bneck(x=b, name=name + "_downsample_f8_2")
         b = bneck(x=b, name=name + "_downsample_f8_3")
@@ -164,20 +200,48 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                                   f"{name}_upsample_{lvl}_short"),
                     _bneck_params(params, stats,
                                   f"{name}_upsample_{lvl}_merged"),
-                    interpret=interpret)
+                    interpret=interpret,
+                    nimg=pick_nimg(feat.shape[0], feat.shape[1],
+                                   feat.shape[2], uplevel_rows))
             else:
                 d = bneck(x=feat, name=f"{name}_upsample_{lvl}_short")
                 u = d + _upsample2x(u)
                 u = bneck(x=u, name=f"{name}_upsample_{lvl}_merged")
 
-        head = jnp.maximum(_conv(params, u, name + "_conv_1x1_1"), 0)
-        head = _bn(params, stats, head, name + "_conv_1x1_1_bn")
-        zp = _conv(params, head, name + "_conv_1x1_predict")
-        head_predict = jax.nn.sigmoid(zp.astype(jnp.float32))
-        outputs.append(head_predict)
-        if i < num_stacks - 1:
-            h2 = _conv(params, head, name + "_conv_1x1_2")
-            hm = _conv(params, head_predict.astype(compute_dtype),
-                       name + "_conv_1x1_3")
-            y = h2 + hm + y
+        last = i == num_stacks - 1
+        if fuse_heads:
+            ha, hc = bn_affine(params[name + "_conv_1x1_1_bn"]["scale"],
+                               params[name + "_conv_1x1_1_bn"]["bias"],
+                               stats[name + "_conv_1x1_1_bn"]["mean"],
+                               stats[name + "_conv_1x1_1_bn"]["var"],
+                               _BN_EPS)
+            glue = {}
+            if not last:
+                glue = {
+                    "w2": params[name + "_conv_1x1_2"]["kernel"][0, 0],
+                    "b2": params[name + "_conv_1x1_2"]["bias"],
+                    "w3": params[name + "_conv_1x1_3"]["kernel"][0, 0],
+                    "b3": params[name + "_conv_1x1_3"]["bias"],
+                }
+            head_predict, y_next = fused_head(
+                u, y,
+                params[name + "_conv_1x1_1"]["kernel"][0, 0],
+                params[name + "_conv_1x1_1"]["bias"], ha, hc,
+                params[name + "_conv_1x1_predict"]["kernel"][0, 0],
+                params[name + "_conv_1x1_predict"]["bias"],
+                last=last, interpret=interpret, **glue)
+            outputs.append(head_predict)
+            if not last:
+                y = y_next
+        else:
+            head = jnp.maximum(_conv(params, u, name + "_conv_1x1_1"), 0)
+            head = _bn(params, stats, head, name + "_conv_1x1_1_bn")
+            zp = _conv(params, head, name + "_conv_1x1_predict")
+            head_predict = jax.nn.sigmoid(zp.astype(jnp.float32))
+            outputs.append(head_predict)
+            if not last:
+                h2 = _conv(params, head, name + "_conv_1x1_2")
+                hm = _conv(params, head_predict.astype(compute_dtype),
+                           name + "_conv_1x1_3")
+                y = h2 + hm + y
     return outputs

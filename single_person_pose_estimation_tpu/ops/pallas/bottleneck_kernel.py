@@ -31,22 +31,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _bottleneck_kernel(x_ref, w1_ref, w2_ref, w3_ref, b_ref,
                        a1_ref, c1_ref, a2_ref, c2_ref, a3_ref, c3_ref,
-                       out_ref, *, H, W, Cin, Cmid):
-    x = x_ref[0]                                     # (H, W, Cin)
-    xf = x.reshape(H * W, Cin)
+                       out_ref, *, N, H, W, Cin, Cmid):
+    x = x_ref[...]                                   # (N, H, W, Cin)
+    xf = x.reshape(N * H * W, Cin)
 
     # 1x1 conv -> relu -> BN affine.
     z1 = jnp.dot(xf, w1_ref[...],
                  preferred_element_type=jnp.float32) + b_ref[0:1, :Cmid]
     t1 = jnp.maximum(z1, 0.0) * a1_ref[...] + c1_ref[...]
-    t1 = t1.astype(x.dtype).reshape(H, W, Cmid)
+    t1 = t1.astype(x.dtype).reshape(N, H, W, Cmid)
 
-    # 3x3 conv as 9 shifted matmuls over a zero-padded VMEM copy.
-    t1p = jnp.pad(t1, ((1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros((H * W, Cmid), jnp.float32)
+    # 3x3 conv as 9 shifted matmuls over a per-image zero-padded VMEM copy.
+    t1p = jnp.pad(t1, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((N * H * W, Cmid), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            sl = t1p[dy:dy + H, dx:dx + W, :].reshape(H * W, Cmid)
+            sl = t1p[:, dy:dy + H, dx:dx + W, :].reshape(N * H * W, Cmid)
             acc = acc + jnp.dot(sl, w2_ref[dy, dx],
                                 preferred_element_type=jnp.float32)
     t2 = jnp.maximum(acc + b_ref[1:2, :Cmid], 0.0) * a2_ref[...] + c2_ref[...]
@@ -57,20 +57,39 @@ def _bottleneck_kernel(x_ref, w1_ref, w2_ref, w3_ref, b_ref,
                  preferred_element_type=jnp.float32) + b_ref[2:3, :Cin]
     t3 = jnp.maximum(z3, 0.0) * a3_ref[...] + c3_ref[...]
     out = xf.astype(jnp.float32) + t3
-    out_ref[0] = out.astype(x.dtype).reshape(H, W, Cin)
+    out_ref[...] = out.astype(x.dtype).reshape(N, H, W, Cin)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def pick_nimg(B: int, H: int, W: int, target_rows: int = 4096) -> int:
+    """Images per grid step: the largest divisor of B whose block stays at
+    ~target_rows spatial rows (64x64 -> 1, 32x32 -> 4, 16x16 -> 16, ...).
+
+    Batch-blocking amortizes the weight DMA over several images and turns
+    the small levels' skinny (HW, Cmid) matmuls into MXU-filling ones
+    (8x8: M=64 -> M=4096) — the levels where the per-image grid lost to
+    XLA (VERDICT.md Weak #2 / Next #3)."""
+    cap = max(1, target_rows // (H * W))
+    n = 1
+    for d in range(1, cap + 1):
+        if B % d == 0:
+            n = d
+    return n
+
+
+@partial(jax.jit, static_argnames=("interpret", "nimg"))
 def fused_bottleneck(x, w1, b1, w2, b2, w3, b3,
-                     a1, c1, a2, c2, a3, c3, interpret: bool = False):
+                     a1, c1, a2, c2, a3, c3, interpret: bool = False,
+                     nimg: int = 0):
     """x (B, H, W, C); identity-skip bottleneck with folded BN affines.
 
     w1 (C, Cm), w2 (3, 3, Cm, Cm), w3 (Cm, C); b* biases; a*/c* the
     inference-BN scale/shift per channel. Returns (B, H, W, C), dtype of x.
+    nimg: images per grid step (0 = auto via pick_nimg).
     """
     B, H, W, Cin = x.shape
     Cmid = w1.shape[1]
     dt = x.dtype
+    N = nimg or pick_nimg(B, H, W)
     # Biases padded into one (3, max(C, Cm)) table to limit operand count.
     bmax = max(Cin, Cmid)
     b_tab = jnp.zeros((3, bmax), jnp.float32)
@@ -78,18 +97,18 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3,
     b_tab = b_tab.at[1, :Cmid].set(b2.astype(jnp.float32))
     b_tab = b_tab.at[2, :Cin].set(b3.astype(jnp.float32))
 
-    kernel = partial(_bottleneck_kernel, H=H, W=W, Cin=Cin, Cmid=Cmid)
+    kernel = partial(_bottleneck_kernel, N=N, H=H, W=W, Cin=Cin, Cmid=Cmid)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // N,),
         in_specs=[
-            pl.BlockSpec((1, H, W, Cin), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((N, H, W, Cin), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             full(), full(), full(), full(),
             full(), full(), full(), full(), full(), full(),
         ],
-        out_specs=pl.BlockSpec((1, H, W, Cin), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((N, H, W, Cin), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cin), dt),
         interpret=interpret,
@@ -111,19 +130,19 @@ def bn_affine(scale, bias, mean, var, eps: float = 1e-3):
 
 def _bottleneck_pool_kernel(x_ref, w1_ref, w2_ref, w3_ref, b_ref,
                             a1_ref, c1_ref, a2_ref, c2_ref, a3_ref, c3_ref,
-                            out_ref, pooled_ref, *, H, W, Cin, Cmid):
+                            out_ref, pooled_ref, *, N, H, W, Cin, Cmid):
     """Bottleneck + fused 2x2/s2 maxpool epilogue (two outputs)."""
-    x = x_ref[0]
-    xf = x.reshape(H * W, Cin)
+    x = x_ref[...]                                   # (N, H, W, Cin)
+    xf = x.reshape(N * H * W, Cin)
     z1 = jnp.dot(xf, w1_ref[...],
                  preferred_element_type=jnp.float32) + b_ref[0:1, :Cmid]
     t1 = jnp.maximum(z1, 0.0) * a1_ref[...] + c1_ref[...]
-    t1 = t1.astype(x.dtype).reshape(H, W, Cmid)
-    t1p = jnp.pad(t1, ((1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros((H * W, Cmid), jnp.float32)
+    t1 = t1.astype(x.dtype).reshape(N, H, W, Cmid)
+    t1p = jnp.pad(t1, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((N * H * W, Cmid), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            sl = t1p[dy:dy + H, dx:dx + W, :].reshape(H * W, Cmid)
+            sl = t1p[:, dy:dy + H, dx:dx + W, :].reshape(N * H * W, Cmid)
             acc = acc + jnp.dot(sl, w2_ref[dy, dx],
                                 preferred_element_type=jnp.float32)
     t2 = jnp.maximum(acc + b_ref[1:2, :Cmid], 0.0) * a2_ref[...] + c2_ref[...]
@@ -133,17 +152,18 @@ def _bottleneck_pool_kernel(x_ref, w1_ref, w2_ref, w3_ref, b_ref,
     t3 = jnp.maximum(z3, 0.0) * a3_ref[...] + c3_ref[...]
     # Residual add in the input dtype (identical at f32; saves a 4MB f32
     # buffer at bf16 — this variant was 410KB over the 16MB VMEM budget).
-    out = (xf + t3.astype(x.dtype)).reshape(H, W, Cin)
-    out_ref[0] = out
+    out = (xf + t3.astype(x.dtype)).reshape(N, H, W, Cin)
+    out_ref[...] = out
     # 2x2/s2 maxpool in VMEM via reshape-splits (strided slices would lower
     # to unsupported gathers); minor dim C is untouched by both reshapes.
-    p = jnp.max(out.reshape(H // 2, 2, W, Cin), axis=1)     # (H/2, W, C)
-    pooled_ref[0] = jnp.max(p.reshape(H // 2, W // 2, 2, Cin), axis=2)
+    p = jnp.max(out.reshape(N, H // 2, 2, W, Cin), axis=2)  # (N, H/2, W, C)
+    pooled_ref[...] = jnp.max(p.reshape(N, H // 2, W // 2, 2, Cin), axis=3)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "nimg"))
 def fused_bottleneck_pool(x, w1, b1, w2, b2, w3, b3,
-                          a1, c1, a2, c2, a3, c3, interpret: bool = False):
+                          a1, c1, a2, c2, a3, c3, interpret: bool = False,
+                          nimg: int = 0):
     """Like fused_bottleneck but ALSO returns the 2x2/s2 maxpool of the
     output, computed in VMEM. Returns (out, pooled).
 
@@ -161,21 +181,23 @@ def fused_bottleneck_pool(x, w1, b1, w2, b2, w3, b3,
     b_tab = b_tab.at[1, :Cmid].set(b2.astype(jnp.float32))
     b_tab = b_tab.at[2, :Cin].set(b3.astype(jnp.float32))
 
-    kernel = partial(_bottleneck_pool_kernel, H=H, W=W, Cin=Cin, Cmid=Cmid)
+    N = nimg or pick_nimg(B, H, W)
+    kernel = partial(_bottleneck_pool_kernel, N=N, H=H, W=W, Cin=Cin,
+                     Cmid=Cmid)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // N,),
         in_specs=[
-            pl.BlockSpec((1, H, W, Cin), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((N, H, W, Cin), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             full(), full(), full(), full(),
             full(), full(), full(), full(), full(), full(),
         ],
         out_specs=(
-            pl.BlockSpec((1, H, W, Cin), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((N, H, W, Cin), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H // 2, W // 2, Cin), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((N, H // 2, W // 2, Cin), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

@@ -99,6 +99,36 @@ def test_fused_apply_with_level_fusion_matches_flax():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_fused_apply_all_fusions_matches_flax():
+    """The full TPU-default configuration — level fusion + pool fusion at
+    the small levels + fused heads/inter-stack glue — must match exactly
+    at f32."""
+    model = StackedHourglass(num_stacks=2, num_channels=32,
+                             compute_dtype=jnp.float32)
+    v = randomized_variables(model)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    want = model.apply(v, x, train=False)
+    got = fused_apply(v, x, num_stacks=2, compute_dtype=jnp.float32,
+                      interpret=True, fuse_levels=True,
+                      pool_fuse_max_h=8, fuse_heads=True)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_apply_heads_single_stack():
+    """fuse_heads on a 1-stack model exercises the pruned-last-stack path
+    (no conv_1x1_2/3 params)."""
+    model = StackedHourglass(num_stacks=1, num_channels=16,
+                             compute_dtype=jnp.float32)
+    v = randomized_variables(model)
+    x = jax.random.uniform(jax.random.PRNGKey(6), (1, 64, 64, 3))
+    want = model.apply(v, x, train=False)
+    got = fused_apply(v, x, num_stacks=1, compute_dtype=jnp.float32,
+                      interpret=True, fuse_heads=True)
+    np.testing.assert_allclose(np.asarray(want[0]), np.asarray(got[0]),
+                               atol=1e-4)
+
+
 def test_fused_bottleneck_pool_kernel():
     """Pool-epilogue variant (kept as a documented experiment): output and
     pooled output must match the base kernel + a reference maxpool."""
