@@ -34,16 +34,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 
-def _halo_exchange_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """Append 1-row halos from the spatial neighbors to a local (B, h, W, C)
-    block: returns (B, h + 2, W, C). Edge shards get zero rows (SAME pad)."""
+def _halo_exchange_rows(x: jnp.ndarray, axis_name: str,
+                        r: int = 1) -> jnp.ndarray:
+    """Append r-row halos from the spatial neighbors to a local (B, h, W, C)
+    block: returns (B, h + 2r, W, C). Edge shards get zero rows (SAME pad)."""
     n = jax.lax.axis_size(axis_name)
-    # Row we send DOWN to the next shard = our last row; it becomes the
+    # Rows we send DOWN to the next shard = our last r rows; they become the
     # receiver's top halo. Non-circular perm -> shard 0's top halo is zeros.
     down_perm = [(i, i + 1) for i in range(n - 1)]
     up_perm = [(i + 1, i) for i in range(n - 1)]
-    top_halo = jax.lax.ppermute(x[:, -1:, :, :], axis_name, perm=down_perm)
-    bottom_halo = jax.lax.ppermute(x[:, :1, :, :], axis_name, perm=up_perm)
+    top_halo = jax.lax.ppermute(x[:, -r:, :, :], axis_name, perm=down_perm)
+    bottom_halo = jax.lax.ppermute(x[:, :r, :, :], axis_name, perm=up_perm)
     return jnp.concatenate([top_halo, x, bottom_halo], axis=1)
 
 
@@ -75,6 +76,50 @@ def conv3x3_spatial(x: jnp.ndarray, kernel: jnp.ndarray,
     fn = shard_map(
         partial(_conv3x3_local, axis_name=spatial_axis),
         mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    return fn(x, kernel, bias if bias is not None else jnp.zeros(
+        (kernel.shape[-1],), kernel.dtype))
+
+
+def _conv_local(x: jnp.ndarray, kernel: jnp.ndarray,
+                bias: Optional[jnp.ndarray], axis_name: str,
+                stride: int) -> jnp.ndarray:
+    """General k x k SAME conv (odd k) with stride on an H-sharded block.
+
+    Halo r = k//2 rows each side; for stride s with local h % s == 0, TF
+    SAME pads the height by (k - s) total = (k - s)//2 on top, so the
+    valid window walk over the halo-extended block starts at offset
+    r - (k - s)//2 (1 for the front's 7x7/s2, 0 for any s=1 odd k)."""
+    k = kernel.shape[0]
+    r = k // 2
+    off = r - (k - stride) // 2
+    ext = _halo_exchange_rows(x, axis_name, r=r)
+    if off:
+        ext = ext[:, off:, :, :]
+    out = jax.lax.conv_general_dilated(
+        ext, kernel,
+        window_strides=(stride, stride),
+        padding=((0, 0), ((k - stride) // 2, (k - stride + 1) // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    h_out = x.shape[1] // stride
+    out = out[:, :h_out, :, :]
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def conv_spatial(x: jnp.ndarray, kernel: jnp.ndarray,
+                 bias: Optional[jnp.ndarray], mesh: Mesh,
+                 spatial_axis: str = "spatial",
+                 stride: int = 1) -> jnp.ndarray:
+    """k x k SAME conv (odd k, e.g. the front's 7x7/s2) on an H-sharded
+    activation; bit-equivalent to the unsharded conv. Requires the local
+    height to be a multiple of the stride."""
+    fn = shard_map(
+        partial(_conv_local, axis_name=spatial_axis, stride=stride),
+        mesh=mesh,
+        in_specs=(P(None, spatial_axis, None, None), P(), P()),
+        out_specs=P(None, spatial_axis, None, None))
     return fn(x, kernel, bias if bias is not None else jnp.zeros(
         (kernel.shape[-1],), kernel.dtype))
 
