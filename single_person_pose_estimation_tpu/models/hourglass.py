@@ -199,6 +199,23 @@ class StackedHourglass(nn.Module):
         head_next = h2 + hm + x  # residual across stacks (hourglass.py:91)
         return head_next, head_predict
 
+    def _front(self, x, train: bool):
+        """Front module (hourglass.py:54-68): 7x7/s2 conv is the only strided
+        conv; it is a plain Conv2D even in mobile mode (only bottleneck
+        convs are swapped for separable convs — hourglass.py:9-11)."""
+        c = self.num_channels
+        y = nn.Conv(features=64, kernel_size=(7, 7), strides=(2, 2),
+                    padding="SAME", kernel_init=_KERNEL_INIT,
+                    dtype=self.compute_dtype, name="front_conv_1x1_1")(x)
+        y = nn.relu(y)
+        y = self._bn(y, train, "front_conv_1x1_1_bn")
+
+        y = self._bottleneck(y, c // 2, "front_bottleneck_1", train)
+        y = self._maxpool(y)
+        y = self._bottleneck(y, c // 2, "front_bottleneck_2", train)
+        y = self._bottleneck(y, c, "front_bottleneck_3", train)
+        return y
+
     # ------------------------------------------------------------------
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -210,21 +227,8 @@ class StackedHourglass(nn.Module):
                 f"input must be (B, H, W, 3) with H and W divisible by 64; "
                 f"got {x.shape}")
         x = x.astype(self.compute_dtype)
-        c = self.num_channels
 
-        # Front module (hourglass.py:54-68): 7x7/s2 conv is the only strided
-        # conv; it is a plain Conv2D even in mobile mode (only bottleneck
-        # convs are swapped for separable convs — hourglass.py:9-11).
-        y = nn.Conv(features=64, kernel_size=(7, 7), strides=(2, 2),
-                    padding="SAME", kernel_init=_KERNEL_INIT,
-                    dtype=self.compute_dtype, name="front_conv_1x1_1")(x)
-        y = nn.relu(y)
-        y = self._bn(y, train, "front_conv_1x1_1_bn")
-
-        y = self._bottleneck(y, c // 2, "front_bottleneck_1", train)
-        y = self._maxpool(y)
-        y = self._bottleneck(y, c // 2, "front_bottleneck_2", train)
-        y = self._bottleneck(y, c, "front_bottleneck_3", train)
+        y = self._front(x, train)
 
         outputs = []
         for i in range(self.num_stacks):

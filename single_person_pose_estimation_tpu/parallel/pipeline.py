@@ -1,0 +1,288 @@
+"""Pipeline parallelism over hourglass stacks (GPipe schedule on a "pipe"
+mesh axis).
+
+The reference has no distributed machinery at all; SURVEY.md §2 notes the
+stack chain is a natural pipeline (stack i feeds stack i+1 through the
+inter-stack residual, reference model/hourglass.py:91) but leaves it as an
+extension. This module is that extension, built the TPU way: the per-stack
+parameters are stacked along a leading axis and sharded over a `pipe` mesh
+axis, each pipeline stage runs its stacks with a `lax.scan`, and activations
+hop stage-to-stage with `lax.ppermute` over ICI inside a `shard_map`. No
+hand-written send/recv; differentiable end to end (ppermute transposes to
+the inverse permutation, so `jax.grad` through the whole pipeline works).
+
+Schedule: classic GPipe. With P stages and M microbatches the loop runs
+M + P - 1 ticks; at tick t stage p computes microbatch t - p (masked out
+during fill/drain). Bubble fraction = (P-1)/(M+P-1); pick M >= 4*P to keep
+it small.
+
+Composition with data parallelism: the batch dimension may additionally be
+sharded over a `data` axis of the same mesh — activations then ride both
+axes (dp x pp), and gradient all-reduce over `data` is inserted by GSPMD
+outside the shard_map as usual.
+
+Interface contract mirrors the sequential model exactly in eval mode:
+`pipeline_forward(...)` equals `model.apply(...)[last]` (tested to 1e-5 in
+tests/test_pipeline.py). In train mode BatchNorm uses per-microbatch batch
+statistics — the standard PP semantics (each microbatch normalizes with its
+own moments); running stats are not updated inside the pipeline (pair with
+training.steps.recalibrate_batch_stats for eval-mode stats).
+
+The true last stack's pruned next-stage head convs (reference
+hourglass.py:71-93; pruned per Train.ipynb's 13,784,260 param count) are
+zero-padded so every stage runs the same program; the zero convs make the
+dead inter-stack output `x + 0 + 0`, which the schedule discards.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
+
+
+class HourglassFront(StackedHourglass):
+    """Front module only (256^2 -> 64^2 x C). Param names match the full
+    model's `front_*` keys, so split front variables apply directly."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return self._front(x.astype(self.compute_dtype), train)
+
+
+class HourglassStage(StackedHourglass):
+    """One hourglass stack with the canonical `hg0_*` param names.
+
+    Always computes the inter-stack interface (is_last=False), so every
+    pipeline stage runs one identical program regardless of position.
+    Returns (next_x, head_predict)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return self._hourglass_module(x, 0, train, is_last=False)
+
+
+def _strip_prefix(tree: Dict[str, Any], prefix: str,
+                  rename: str = "") -> Dict[str, Any]:
+    return {rename + k[len(prefix):]: v
+            for k, v in tree.items() if k.startswith(prefix)}
+
+
+def split_pipeline_variables(variables: Dict[str, Any], num_stacks: int,
+                             ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Split full-model variables into (front_vars, stacked_stage_vars).
+
+    front_vars: the `front_*` subtree, usable with HourglassFront as-is.
+    stacked_stage_vars: every per-stack leaf stacked on a new leading axis
+    of length num_stacks, keys canonicalized to `hg0_*` (HourglassStage's
+    names). The last stack's pruned `conv_1x1_2`/`conv_1x1_3` params are
+    zero-filled so all stacks share one tree structure.
+    """
+    front = {col: _strip_prefix(tree, "front_", "front_")
+             for col, tree in variables.items()}
+    stacks = []
+    for i in range(num_stacks):
+        stacks.append({col: _strip_prefix(tree, f"hg{i}_", "hg0_")
+                       for col, tree in variables.items()})
+    # Zero-pad the pruned next-stage head convs (plain convs, no BN).
+    params0 = stacks[0]["params"]
+    c = params0["hg0_conv_1x1_1"]["kernel"].shape[-1]
+    k = params0["hg0_conv_1x1_predict"]["kernel"].shape[-1]
+    templates = {
+        "hg0_conv_1x1_2": {"kernel": jnp.zeros((1, 1, c, c)),
+                           "bias": jnp.zeros((c,))},
+        "hg0_conv_1x1_3": {"kernel": jnp.zeros((1, 1, k, c)),
+                           "bias": jnp.zeros((c,))},
+    }
+    for s in stacks:
+        for name, tmpl in templates.items():
+            if name not in s["params"]:
+                s["params"][name] = jax.tree.map(jnp.zeros_like, tmpl)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *stacks)
+    return front, stacked
+
+
+def _stage_modules(model: StackedHourglass):
+    kwargs = dict(num_classes=model.num_classes,
+                  num_channels=model.num_channels,
+                  predict_activation=model.predict_activation,
+                  mobile=model.mobile,
+                  compute_dtype=model.compute_dtype,
+                  bn_momentum=model.bn_momentum)
+    return HourglassFront(**kwargs), HourglassStage(**kwargs)
+
+
+def _stage_apply(stage: HourglassStage, svars, x, train: bool):
+    if train:
+        (nx, head), _ = stage.apply(svars, x, True, mutable=["batch_stats"])
+    else:
+        nx, head = stage.apply(svars, x, False)
+    return nx, head.astype(jnp.float32)
+
+
+def _pipeline_engine(
+    stage: HourglassStage,
+    mesh: Mesh,
+    pipe_axis: str,
+    train: bool,
+    loss_fn: Optional[Callable] = None,
+):
+    """shard_map'd GPipe loop. Returns fn(stacked_vars, x0_mb[, targets_mb]).
+
+    In predict mode (loss_fn None) returns the last stack's heatmaps
+    (M, mb, h, w, K), replicated over `pipe`. In loss mode returns
+    (total_loss_scalar, per_stack_losses[num_stacks]) averaged over
+    microbatches, matching losses.per_stack_losses + sum semantics.
+    """
+    n_stages = int(mesh.shape[pipe_axis])
+    other_axes = [a for a in mesh.axis_names if a != pipe_axis]
+    # Batch dims may ride other mesh axes (dp x pp): spell them out so the
+    # microbatch dim stays unsharded and the batch dim keeps its data axis.
+    data_axis = other_axes[0] if other_axes else None
+    act_spec = P(None, data_axis)  # (M, mb, h, w, C)
+    ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def device_fn(stacked_local, x0_mb, targets_mb):
+        p = jax.lax.axis_index(pipe_axis)
+        M = x0_mb.shape[0]
+        k_local = jax.tree.leaves(stacked_local)[0].shape[0]
+
+        def stack_body(x, svars):
+            nx, head = _stage_apply(stage, svars, x, train)
+            return nx, head
+
+        # Only one accumulator is live per mode; the other stays a scalar so
+        # the scan carry doesn't haul a dead (M, mb, h, w, K) buffer around.
+        pred_acc = (jnp.zeros(x0_mb.shape[:-1] + (targets_mb.shape[-1],),
+                              jnp.float32)
+                    if loss_fn is None else jnp.zeros(()))
+        loss_acc = jnp.zeros((k_local,), jnp.float32)
+
+        def tick(carry, t):
+            buf, preds, lacc = carry
+            m = jnp.clip(t - p, 0, M - 1)
+            inp = jnp.where(p == 0,
+                            jax.lax.dynamic_index_in_dim(
+                                x0_mb, jnp.clip(t, 0, M - 1), keepdims=False),
+                            buf)
+            out_x, heads = jax.lax.scan(stack_body, inp, stacked_local)
+            valid = ((t - p) >= 0) & ((t - p) < M)
+            if loss_fn is None:
+                contrib = jnp.where(valid & (p == n_stages - 1),
+                                    heads[-1], 0.0)
+                preds = preds.at[m].add(contrib)
+            else:
+                tgt = jax.lax.dynamic_index_in_dim(targets_mb, m,
+                                                   keepdims=False)
+                # jnp.mean = the Keras per-output reduction
+                # (losses.per_stack_losses).
+                per_stack = jax.vmap(
+                    lambda h: jnp.mean(loss_fn(tgt, h)))(heads)
+                lacc = lacc + jnp.where(valid, per_stack, 0.0)
+            nxt = jax.lax.ppermute(out_x, pipe_axis, ring)
+            return (nxt, preds, lacc), None
+
+        buf0 = jnp.zeros(x0_mb.shape[1:], x0_mb.dtype)
+        (_, preds, lacc), _ = jax.lax.scan(
+            tick, (buf0, pred_acc, loss_acc),
+            jnp.arange(M + n_stages - 1))
+        if loss_fn is None:
+            # Only the last stage wrote non-zeros; psum replicates to all.
+            return jax.lax.psum(preds, pipe_axis)
+        lacc = lacc / M
+        # Local loss is a mean over this device's batch shard; average over
+        # the data axes so every device holds the global-batch value.
+        for ax in other_axes:
+            lacc = jax.lax.pmean(lacc, ax)
+        # Per-stack vector stays sharded over pipe (gathered by out_spec);
+        # the scalar total sums every stage's stacks.
+        total = jax.lax.psum(jnp.sum(lacc), pipe_axis)
+        return total, lacc
+
+    if loss_fn is None:
+        out_specs = act_spec
+    else:
+        out_specs = (P(), P(pipe_axis))
+    return shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(pipe_axis), act_spec, act_spec),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+
+def _microbatch(x, num_microbatches: int):
+    B = x.shape[0]
+    if B % num_microbatches:
+        raise ValueError(
+            f"batch {B} not divisible by num_microbatches={num_microbatches}")
+    return x.reshape((num_microbatches, B // num_microbatches) + x.shape[1:])
+
+
+def make_pipeline_forward(
+    model: StackedHourglass,
+    mesh: Mesh,
+    num_microbatches: int,
+    pipe_axis: str = "pipe",
+    train: bool = False,
+):
+    """Pipelined inference: fn(front_vars, stacked_vars, images) -> the last
+    stack's heatmaps (B, h, w, K) — the reference's eval output (eval.py:108).
+    """
+    front, stage = _stage_modules(model)
+    engine = _pipeline_engine(stage, mesh, pipe_axis, train,
+                              loss_fn=None)
+
+    def forward(front_vars, stacked_vars, images):
+        if train:
+            x0, _ = front.apply(front_vars, images, True,
+                                mutable=["batch_stats"])
+        else:
+            x0 = front.apply(front_vars, images, False)
+        x0_mb = _microbatch(x0, num_microbatches)
+        # Dummy targets supply only the output (h, w, K) geometry.
+        k = model.num_classes
+        tgt = jnp.zeros(x0_mb.shape[:-1] + (k,), jnp.float32)
+        preds = engine(stacked_vars, x0_mb, tgt)
+        return preds.reshape((-1,) + preds.shape[2:])
+
+    return jax.jit(forward)
+
+
+def make_pipeline_loss_fn(
+    model: StackedHourglass,
+    mesh: Mesh,
+    loss_fn: Callable,
+    num_microbatches: int,
+    pipe_axis: str = "pipe",
+    train: bool = True,
+):
+    """Differentiable pipelined loss: fn(front_vars, stacked_vars, images,
+    targets) -> (total_loss, per_stack_losses).
+
+    total = sum over stacks of the per-stack loss averaged over microbatches
+    — identical to the sequential intermediate-supervision objective
+    (losses.per_stack_losses summed, reference trainer.py:35), so
+    `jax.grad` of this is a drop-in pipeline-parallel training gradient.
+    """
+    front, stage = _stage_modules(model)
+    engine = _pipeline_engine(stage, mesh, pipe_axis, train,
+                              loss_fn=loss_fn)
+
+    def pipelined_loss(front_vars, stacked_vars, images, targets):
+        if train:
+            x0, _ = front.apply(front_vars, images, True,
+                                mutable=["batch_stats"])
+        else:
+            x0 = front.apply(front_vars, images, False)
+        x0_mb = _microbatch(x0, num_microbatches)
+        tgt_mb = _microbatch(targets.astype(jnp.float32), num_microbatches)
+        return engine(stacked_vars, x0_mb, tgt_mb)
+
+    return pipelined_loss

@@ -1,0 +1,195 @@
+"""Pipeline parallelism over stacks (parallel/pipeline.py) on the spoofed
+8-device CPU mesh: forward equivalence vs the sequential model, loss/grad
+equivalence vs the sequential microbatched objective, and dp x pp
+composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from single_person_pose_estimation_tpu import losses
+from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
+from single_person_pose_estimation_tpu.parallel import mesh as mesh_lib
+from single_person_pose_estimation_tpu.parallel import pipeline
+
+
+NUM_STACKS = 4
+B, HW, LABEL = 8, 64, 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = StackedHourglass(num_stacks=NUM_STACKS, num_channels=16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, HW, HW, 3)), train=False)
+    # Non-init BN running stats so eval mode actually exercises them (params
+    # stay at init: large perturbations saturate the sigmoid heads and
+    # amplify XLA fusion-order float noise across the 4 stacks).
+    variables = {
+        "params": variables["params"],
+        "batch_stats": jax.tree.map(lambda x: x + 0.01,
+                                    variables["batch_stats"]),
+    }
+    images = jax.random.uniform(jax.random.PRNGKey(1), (B, HW, HW, 3))
+    targets = jax.random.uniform(jax.random.PRNGKey(2),
+                                 (B, LABEL, LABEL, 17))
+    return model, variables, images, targets
+
+
+def test_split_pipeline_variables_structure(setup):
+    model, variables, _, _ = setup
+    front, stacked = pipeline.split_pipeline_variables(variables, NUM_STACKS)
+    assert all(k.startswith("front_") for k in front["params"])
+    # Every stacked leaf gained a leading num_stacks axis.
+    for leaf in jax.tree.leaves(stacked):
+        assert leaf.shape[0] == NUM_STACKS
+    # The pruned last-stack head convs were zero-filled, shapes from stack 0.
+    k2 = stacked["params"]["hg0_conv_1x1_2"]["kernel"]
+    assert k2.shape[0] == NUM_STACKS
+    np.testing.assert_array_equal(np.asarray(k2[-1]), 0.0)
+    assert np.abs(np.asarray(k2[0])).max() > 0
+
+
+def test_pipeline_forward_matches_sequential(setup):
+    model, variables, images, _ = setup
+    mesh = mesh_lib.create_mesh((4,), ("pipe",),
+                                devices=jax.devices()[:4])
+    front, stacked = pipeline.split_pipeline_variables(variables, NUM_STACKS)
+    fwd = pipeline.make_pipeline_forward(model, mesh, num_microbatches=4)
+    got = fwd(front, stacked, images)
+    # jit the reference too: XLA fusion order alone moves float32 results
+    # by ~1e-6 vs eager, so compare compiled-vs-compiled.
+    want = jax.jit(lambda v, x: model.apply(v, x, train=False)[-1])(
+        variables, images)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pipeline_forward_dp_x_pp(setup):
+    model, variables, images, _ = setup
+    mesh = mesh_lib.create_mesh((2, 4), ("data", "pipe"))
+    front, stacked = pipeline.split_pipeline_variables(variables, NUM_STACKS)
+    fwd = pipeline.make_pipeline_forward(model, mesh, num_microbatches=2)
+    got = fwd(front, stacked, images)
+    want = jax.jit(lambda v, x: model.apply(v, x, train=False)[-1])(
+        variables, images)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def _sequential_microbatched_loss(model, variables, images, targets, M,
+                                  train):
+    """The objective the pipeline must reproduce: front on the full batch,
+    stacks per microbatch (per-microbatch BN statistics in train mode),
+    per-stack Keras-mean losses averaged over microbatches.
+
+    Eval mode compares against the FULL sequential model (independent
+    implementation); train mode only changes where BN statistics come from,
+    so it loops plain unpipelined stage applies — the scheduling machinery
+    under test (shard_map/ppermute/scan GPipe loop) is shared with neither.
+    """
+    mb = images.shape[0] // M
+    if not train:
+        def seq_eval(variables, images, targets):
+            outs = model.apply(variables, images, train=False)
+            per = [jnp.mean(jnp.stack(
+                [jnp.mean(losses.iou(targets[m * mb:(m + 1) * mb],
+                                     o[m * mb:(m + 1) * mb]))
+                 for m in range(M)])) for o in outs]
+            per = jnp.stack(per)
+            return jnp.sum(per), per
+        total, per_stack = jax.jit(seq_eval)(variables, images, targets)
+        return float(total), np.asarray(per_stack)
+
+    front_mod, stage_mod = pipeline._stage_modules(model)
+    front, stacked = pipeline.split_pipeline_variables(
+        variables, model.num_stacks)
+
+    def seq_train(front_v, stacked_v, images, targets):
+        x0, _ = front_mod.apply(front_v, images, True,
+                                mutable=["batch_stats"])
+        per = jnp.zeros(model.num_stacks)
+        for m in range(M):
+            x = x0[m * mb:(m + 1) * mb]
+            tgt = targets[m * mb:(m + 1) * mb]
+            for s in range(model.num_stacks):
+                svars = jax.tree.map(lambda l: l[s], stacked_v)
+                (x, head), _ = stage_mod.apply(svars, x, True,
+                                               mutable=["batch_stats"])
+                per = per.at[s].add(jnp.mean(losses.iou(
+                    tgt, head.astype(jnp.float32))) / M)
+        return jnp.sum(per), per
+
+    # jit the reference: eager-vs-compiled fusion order alone moves the
+    # train-mode BN variance reductions by ~5e-4 (the pipeline is bit-exact
+    # against this jitted sequential program).
+    total, per_stack = jax.jit(seq_train)(front, stacked, images, targets)
+    return float(total), np.asarray(per_stack)
+
+
+def test_pipeline_loss_matches_sequential_eval_mode(setup):
+    model, variables, images, targets = setup
+    mesh = mesh_lib.create_mesh((4,), ("pipe",), devices=jax.devices()[:4])
+    front, stacked = pipeline.split_pipeline_variables(variables, NUM_STACKS)
+    loss_fn = pipeline.make_pipeline_loss_fn(model, mesh, losses.iou,
+                                             num_microbatches=4, train=False)
+    total, per_stack = jax.jit(loss_fn)(front, stacked, images, targets)
+    want_total, want_per_stack = _sequential_microbatched_loss(
+        model, variables, images, targets, M=4, train=False)
+    assert float(total) == pytest.approx(want_total, abs=1e-5)
+    np.testing.assert_allclose(np.asarray(per_stack), want_per_stack,
+                               atol=1e-5)
+
+
+def test_pipeline_loss_train_mode_microbatch_bn(setup):
+    model, variables, images, targets = setup
+    mesh = mesh_lib.create_mesh((4,), ("pipe",), devices=jax.devices()[:4])
+    front, stacked = pipeline.split_pipeline_variables(variables, NUM_STACKS)
+    loss_fn = pipeline.make_pipeline_loss_fn(model, mesh, losses.iou,
+                                             num_microbatches=2, train=True)
+    total, _ = jax.jit(loss_fn)(front, stacked, images, targets)
+    want_total, _ = _sequential_microbatched_loss(
+        model, variables, images, targets, M=2, train=True)
+    assert float(total) == pytest.approx(want_total, abs=1e-5)
+
+
+def test_pipeline_grads_match_sequential(setup):
+    """jax.grad through ppermute+scan == grads of the sequential objective
+    (frozen-BN mode keeps the comparison exact and cheap)."""
+    model, variables, images, targets = setup
+    mesh = mesh_lib.create_mesh((4,), ("pipe",), devices=jax.devices()[:4])
+    front, stacked = pipeline.split_pipeline_variables(variables, NUM_STACKS)
+    pipe_loss = pipeline.make_pipeline_loss_fn(model, mesh, losses.iou,
+                                               num_microbatches=4,
+                                               train=False)
+
+    pipe_grads = jax.jit(jax.grad(
+        lambda f, s: pipe_loss(f, s, images, targets)[0],
+        argnums=(0, 1)))(front, stacked)
+
+    def seq_loss(variables):
+        outs = model.apply(variables, images, train=False)
+        return losses.total_loss(losses.iou, targets, outs)
+
+    seq = jax.grad(seq_loss)(variables)
+    seq_front, seq_stacked = pipeline.split_pipeline_variables(
+        seq, NUM_STACKS)
+
+    for got, want in zip(jax.tree.leaves(pipe_grads[0]["params"]),
+                         jax.tree.leaves(seq_front["params"])):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+    for got, want in zip(jax.tree.leaves(pipe_grads[1]["params"]),
+                         jax.tree.leaves(seq_stacked["params"])):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_pipeline_requires_divisible_batch(setup):
+    model, variables, images, _ = setup
+    mesh = mesh_lib.create_mesh((4,), ("pipe",), devices=jax.devices()[:4])
+    front, stacked = pipeline.split_pipeline_variables(variables, NUM_STACKS)
+    fwd = pipeline.make_pipeline_forward(model, mesh, num_microbatches=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        fwd(front, stacked, images)
