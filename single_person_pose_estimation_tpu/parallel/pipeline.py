@@ -41,6 +41,8 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import optax
+from flax import struct
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -106,6 +108,28 @@ def split_pipeline_variables(variables: Dict[str, Any], num_stacks: int,
                 s["params"][name] = jax.tree.map(jnp.zeros_like, tmpl)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *stacks)
     return front, stacked
+
+
+def merge_pipeline_variables(front: Dict[str, Any], stacked: Dict[str, Any],
+                             num_stacks: int) -> Dict[str, Any]:
+    """Inverse of split_pipeline_variables: reassemble full-model variables.
+
+    Un-stacks each leaf, restores the `hg{i}_*` names, and drops the
+    zero-padded pruned head convs from the last stack, so the result loads
+    into StackedHourglass / Orbax checkpoints unchanged.
+    """
+    out = {col: dict(_strip_prefix(tree, "front_", "front_"))
+           for col, tree in front.items()}
+    for col in stacked:
+        out.setdefault(col, {})
+        for name, sub in stacked[col].items():
+            for i in range(num_stacks):
+                if (i == num_stacks - 1 and col == "params"
+                        and name in ("hg0_conv_1x1_2", "hg0_conv_1x1_3")):
+                    continue  # pruned on the true last stack
+                out[col][f"hg{i}" + name[len("hg0"):]] = jax.tree.map(
+                    lambda l: l[i], sub)
+    return out
 
 
 def _stage_modules(model: StackedHourglass):
@@ -253,6 +277,131 @@ def make_pipeline_forward(
         return preds.reshape((-1,) + preds.shape[2:])
 
     return jax.jit(forward)
+
+
+class PipelineTrainState(struct.PyTreeNode):
+    """Train state for the pipelined trainer: variables live pre-split
+    (front replicated, stacked sharded over `pipe`), Adam moments mirror
+    the param trees. Convert to/from standard full-model variables with
+    split/merge_pipeline_variables for checkpoint interop."""
+
+    step: jnp.ndarray
+    front: Any
+    stacked: Any
+    opt_state: Any
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, model: StackedHourglass, tx, rng,
+               input_shape=(1, 256, 256, 3)):
+        init_rng, state_rng = jax.random.split(rng)
+        variables = model.init(init_rng, jnp.zeros(input_shape, jnp.float32),
+                               train=False)
+        front, stacked = split_pipeline_variables(variables,
+                                                  model.num_stacks)
+        return cls(step=jnp.zeros((), jnp.int32), front=front,
+                   stacked=stacked,
+                   opt_state=tx.init((front["params"], stacked["params"])),
+                   rng=state_rng)
+
+
+def make_pipeline_train_step(
+    model: StackedHourglass,
+    tx,
+    loss_fn: Callable,
+    config,
+    mesh: Mesh,
+    num_microbatches: int,
+    pipe_axis: str = "pipe",
+    augment: bool = True,
+):
+    """Full pipelined training step: on-device augment + heatmap targets +
+    GPipe fwd/bwd + optimizer update, jitted with pipeline shardings
+    (stacked params and their Adam moments sharded over `pipe`, front
+    replicated, batch over the `data` axis if present).
+
+    Mirrors training.steps.make_train_step's (state, batch) -> (state,
+    metrics) contract; BN uses per-microbatch statistics and running stats
+    are not updated (PP semantics — see the module docstring).
+    """
+    from single_person_pose_estimation_tpu.ops.augment import augment_batch
+    from single_person_pose_estimation_tpu.ops.heatmap import (
+        render_heatmaps_batch,
+    )
+
+    pipe_loss = make_pipeline_loss_fn(model, mesh, loss_fn,
+                                      num_microbatches, pipe_axis,
+                                      train=True)
+    other = [a for a in mesh.axis_names if a != pipe_axis]
+    data_axis = other[0] if other else None
+    geo_backend = ("matmul2pass" if jax.default_backend() == "tpu"
+                   else "gather")
+
+    def step(state: PipelineTrainState, batch):
+        rng, next_rng = jax.random.split(state.rng)
+        images = batch["image"]
+        kx, ky, kv = batch["kx"], batch["ky"], batch["kv"]
+        if augment:
+            images, kx, ky, kv = augment_batch(
+                rng, images, kx, ky, kv,
+                label_size=config.label_width,
+                flip_pairs=config.flip_pairs,
+                geometric_backend=geo_backend,
+                scale_min=config.aug_scale_min,
+                scale_max=config.aug_scale_max,
+                rotate_deg=config.aug_rotate_deg)
+        targets = render_heatmaps_batch(
+            kx, ky, kv, height=config.label_height,
+            width=config.label_width, sigma=config.hm_sigma)
+
+        def loss_on_params(fp, sp):
+            f = {"params": fp, "batch_stats": state.front["batch_stats"]}
+            s = {"params": sp, "batch_stats": state.stacked["batch_stats"]}
+            return pipe_loss(f, s, images, targets)
+
+        (total, per_stack), grads = jax.value_and_grad(
+            loss_on_params, argnums=(0, 1), has_aux=True)(
+                state.front["params"], state.stacked["params"])
+        updates, new_opt = tx.update(
+            grads, state.opt_state,
+            (state.front["params"], state.stacked["params"]))
+        new_fp, new_sp = optax.apply_updates(
+            (state.front["params"], state.stacked["params"]), updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            front={"params": new_fp,
+                   "batch_stats": state.front["batch_stats"]},
+            stacked={"params": new_sp,
+                     "batch_stats": state.stacked["batch_stats"]},
+            opt_state=new_opt,
+            rng=next_rng,
+        )
+        metrics = {"loss": total}
+        for i in range(model.num_stacks):
+            metrics[f"loss/hg{i}"] = per_stack[i]
+        return new_state, metrics
+
+    from jax.sharding import NamedSharding
+    repl = NamedSharding(mesh, P())
+    piped = NamedSharding(mesh, P(pipe_axis))
+    data = NamedSharding(mesh, P(data_axis)) if data_axis else repl
+
+    def leaf_sharding(leaf):
+        # Stacked leaves (and their Adam moments, which mirror the param
+        # trees) carry the num_stacks leading axis: biases/BN vectors become
+        # 2-D (S, C), conv kernels 5-D (S, kh, kw, I, O). Front/scalar
+        # leaves keep their original ranks (1-D and 4-D), so rank+dim0
+        # identifies what shards over pipe.
+        shape = getattr(leaf, "shape", ())
+        if len(shape) in (2, 5) and shape[0] == model.num_stacks:
+            return piped
+        return repl
+
+    example = jax.eval_shape(
+        lambda: PipelineTrainState.create(model, tx, jax.random.PRNGKey(0)))
+    state_sh = jax.tree.map(leaf_sharding, example)
+    return jax.jit(step, in_shardings=(state_sh, data),
+                   out_shardings=(state_sh, repl), donate_argnums=(0,))
 
 
 def make_pipeline_loss_fn(

@@ -186,6 +186,55 @@ def test_pipeline_grads_match_sequential(setup):
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_merge_pipeline_variables_round_trip(setup):
+    model, variables, _, _ = setup
+    front, stacked = pipeline.split_pipeline_variables(variables, NUM_STACKS)
+    merged = pipeline.merge_pipeline_variables(front, stacked, NUM_STACKS)
+    assert jax.tree_util.tree_structure(merged) == \
+        jax.tree_util.tree_structure(variables)
+    for got, want in zip(jax.tree.leaves(merged),
+                         jax.tree.leaves(variables)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pipeline_train_step_learns(setup):
+    """Full pipelined train step (augment off for determinism): loss falls
+    over a few Adam steps and the merged-back params still run in the
+    sequential model."""
+    import optax
+    from single_person_pose_estimation_tpu.configs.default_config import (
+        Config,
+    )
+    model, _, images, _ = setup
+    cfg = Config().replace(hg_num_stacks=NUM_STACKS, hg_num_channels=16,
+                           image_height=HW, image_width=HW,
+                           label_height=LABEL, label_width=LABEL)
+    mesh = mesh_lib.create_mesh((2, 4), ("data", "pipe"))
+    tx = optax.adam(1e-3)
+    state = pipeline.PipelineTrainState.create(
+        model, tx, jax.random.PRNGKey(0), input_shape=(1, HW, HW, 3))
+    batch = {
+        "image": images,
+        "kx": jax.random.uniform(jax.random.PRNGKey(3), (B, 17)) * LABEL,
+        "ky": jax.random.uniform(jax.random.PRNGKey(4), (B, 17)) * LABEL,
+        "kv": jnp.full((B, 17), 2, jnp.int32),
+    }
+    step = pipeline.make_pipeline_train_step(
+        model, tx, losses.iou, cfg, mesh, num_microbatches=2, augment=False)
+    state, m0 = step(state, batch)
+    losses_seen = [float(m0["loss"])]
+    for _ in range(4):
+        state, m = step(state, batch)
+        losses_seen.append(float(m["loss"]))
+    assert losses_seen[-1] < losses_seen[0], losses_seen
+    assert f"loss/hg{NUM_STACKS - 1}" in m
+    # Merged-back variables drive the plain sequential model.
+    merged = pipeline.merge_pipeline_variables(state.front, state.stacked,
+                                               NUM_STACKS)
+    out = model.apply(merged, images, train=False)
+    assert out[-1].shape == (B, LABEL, LABEL, 17)
+
+
 def test_pipeline_requires_divisible_batch(setup):
     model, variables, images, _ = setup
     mesh = mesh_lib.create_mesh((4,), ("pipe",), devices=jax.devices()[:4])
