@@ -55,6 +55,23 @@ def fwd_bwd_fn(model, train_bn=True, loss=losses.iou):
     return jax.jit(f)
 
 
+def fused_fwd_bwd_fn(num_stacks=4, compute_dtype=jnp.bfloat16,
+                     loss=losses.iou):
+    from single_person_pose_estimation_tpu.models.fused_train import (
+        fused_train_apply,
+    )
+
+    def f(params, stats, images, heatmaps):
+        def loss_fn(p):
+            outs, _ = fused_train_apply(
+                {"params": p, "batch_stats": stats}, images,
+                num_stacks=num_stacks, compute_dtype=compute_dtype)
+            return jnp.sum(jnp.stack([loss(heatmaps, o).mean()
+                                      for o in outs]))
+        return jax.value_and_grad(loss_fn)(params)
+    return jax.jit(f)
+
+
 def batch(B, key=1):
     imgs = jax.random.uniform(jax.random.PRNGKey(key), (B, 256, 256, 3),
                               jnp.float32)
@@ -88,6 +105,15 @@ def main():
 
     timeit("fwd+bwd b64 frozen-BN", fwd_bwd_fn(bf16, train_bn=False),
            state.params, state.batch_stats, imgs, hm)
+
+    fused = fused_fwd_bwd_fn()
+    timeit("fwd+bwd b64 fused-bwd", fused, state.params,
+           state.batch_stats, imgs, hm)
+    ca_f = fused.lower(state.params, state.batch_stats, imgs,
+                       hm).compile().cost_analysis()
+    print(f"fused cost_analysis: {ca_f.get('flops', 0)/1e12:.2f} TFLOP, "
+          f"{ca_f.get('bytes accessed', 0)/1e9:.2f} GB accessed",
+          flush=True)
 
     remat = StackedHourglass(num_stacks=4, num_channels=256,
                              compute_dtype=jnp.bfloat16, remat=True)

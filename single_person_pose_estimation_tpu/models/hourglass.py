@@ -36,6 +36,7 @@ from typing import Any, List, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 # Keras BatchNormalization defaults.
 _BN_EPS = 1e-3
@@ -91,7 +92,23 @@ class StackedHourglass(nn.Module):
     predict_activation: str = "sigmoid"
     mobile: bool = False
     compute_dtype: Any = jnp.float32
-    remat: bool = False  # checkpoint each hourglass module to save HBM
+    # Rematerialization of each hourglass module (and the front). The
+    # train-step bottleneck is saved-activation HBM traffic (fwd+bwd moves
+    # ~113 GB at B=64, ~859 GB/s = HBM speed-of-light while the MXU sits at
+    # 27% — scripts/bench_bwd_variants.py), but neither remat mode beats
+    # the default on v5e; both are kept as documented measured experiments:
+    #   False      — save every residual (XLA default). FASTEST: 131 ms.
+    #   True       — full module remat: recompute everything incl. convs
+    #                in bwd. 161 ms (+22%, re-runs MXU work).
+    #   "conv_out" — save ONLY conv outputs (jax.checkpoint_name tags),
+    #                recompute the elementwise/reduction chain (ReLU, BN +
+    #                batch stats, adds, pool, upsample) in bwd. Grads are
+    #                bit-exact, but XLA re-MATERIALIZES the recomputed
+    #                chain in HBM instead of fusing it into the consumers:
+    #                bytes go UP (133 GB) and fwd+bwd hits 219 ms. Cutting
+    #                residual bytes needs a hand-fused bwd kernel, not a
+    #                remat policy.
+    remat: Any = False
     bn_momentum: float = _BN_MOMENTUM  # Keras default; 0.0 = adopt batch stats
 
     # ------------------------------------------------------------------
@@ -114,6 +131,7 @@ class StackedHourglass(nn.Module):
                     kernel_init=_KERNEL_INIT,
                     dtype=self.compute_dtype,
                     name=name)(x)
+        y = checkpoint_name(y, "conv_out")
         return self._activate(y, activation)
 
     def _bconv(self, x, features, kernel_size, name, activation="relu"):
@@ -122,6 +140,7 @@ class StackedHourglass(nn.Module):
         if self.mobile:
             y = SeparableConv(features=features, kernel_size=kernel_size,
                               dtype=self.compute_dtype, name=name)(x)
+            y = checkpoint_name(y, "conv_out")
             return self._activate(y, activation)
         return self._conv(x, features, kernel_size, name, activation)
 
@@ -207,6 +226,7 @@ class StackedHourglass(nn.Module):
         y = nn.Conv(features=64, kernel_size=(7, 7), strides=(2, 2),
                     padding="SAME", kernel_init=_KERNEL_INIT,
                     dtype=self.compute_dtype, name="front_conv_1x1_1")(x)
+        y = checkpoint_name(y, "conv_out")
         y = nn.relu(y)
         y = self._bn(y, train, "front_conv_1x1_1_bn")
 
@@ -228,14 +248,24 @@ class StackedHourglass(nn.Module):
                 f"got {x.shape}")
         x = x.astype(self.compute_dtype)
 
-        y = self._front(x, train)
+        policy = None
+        if self.remat == "conv_out":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "conv_out")
+
+        if policy is not None:
+            front = nn.remat(StackedHourglass._front, static_argnums=(2,),
+                             policy=policy)
+            y = front(self, x, train)
+        else:
+            y = self._front(x, train)
 
         outputs = []
         for i in range(self.num_stacks):
             is_last = i == self.num_stacks - 1
             if self.remat:
                 mod = nn.remat(StackedHourglass._hourglass_module,
-                               static_argnums=(2, 3, 4))
+                               static_argnums=(2, 3, 4), policy=policy)
                 y, head = mod(self, y, i, train, is_last)
             else:
                 y, head = self._hourglass_module(y, i, train, is_last)

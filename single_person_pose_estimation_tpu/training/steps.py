@@ -60,13 +60,25 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def _forward_loss(model, loss_fn, params, batch_stats, images, heatmaps):
-    outs, mutated = model.apply(
-        {"params": params, "batch_stats": batch_stats},
-        images, train=True, mutable=["batch_stats"])
+def _forward_loss(model, loss_fn, params, batch_stats, images, heatmaps,
+                  model_backend: str = "flax"):
+    if model_backend == "fused":
+        from single_person_pose_estimation_tpu.models.fused_train import (
+            fused_train_apply,
+        )
+        outs, new_stats = fused_train_apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            num_stacks=model.num_stacks,
+            compute_dtype=model.compute_dtype,
+            bn_momentum=model.bn_momentum)
+    else:
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=True, mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
     per_stack = losses_lib.per_stack_losses(loss_fn, heatmaps, outs)
     total = jnp.sum(jnp.stack(per_stack))
-    return total, (mutated["batch_stats"], per_stack)
+    return total, (new_stats, per_stack)
 
 
 def make_train_step(
@@ -78,8 +90,14 @@ def make_train_step(
     augment: bool = True,
     model_axis: Optional[str] = None,
     example_state: Optional["TrainState"] = None,
+    model_backend: str = "flax",
 ):
     """Build the jitted train step.
+
+    model_backend: "flax" (nn.Module.apply + XLA autodiff) or "fused"
+    (models.fused_train.fused_train_apply — hand-fused bottleneck
+    backward; non-mobile hourglass only, equality-tested against the flax
+    path in tests/test_fused_train.py).
 
     The step signature is (state, batch) -> (state, metrics) where batch is
     a dict with:
@@ -89,6 +107,9 @@ def make_train_step(
     Metrics: {"loss": scalar, "loss/hg{i}": scalar per stack} — the same
     per-stack breakdown Keras logs for the reference (Train.ipynb cell 20).
     """
+    if model_backend == "fused" and getattr(model, "mobile", False):
+        raise ValueError(
+            "model_backend='fused' supports the non-mobile hourglass only")
     flip_pairs = config.flip_pairs
     label_h, label_w = config.label_height, config.label_width
     sigma = config.hm_sigma
@@ -116,7 +137,8 @@ def make_train_step(
 
         grad_fn = jax.value_and_grad(
             lambda p: _forward_loss(model, loss_fn, p, state.batch_stats,
-                                    images, heatmaps),
+                                    images, heatmaps,
+                                    model_backend=model_backend),
             has_aux=True)
         (total, (new_stats, per_stack)), grads = grad_fn(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

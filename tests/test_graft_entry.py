@@ -28,7 +28,11 @@ def _run_in_clean_subprocess(code: str) -> subprocess.CompletedProcess:
         text=True,
         cwd=REPO,
         env=env,
-        timeout=900,
+        # The dryrun now also compiles the GPipe and halo-conv programs;
+        # cold compiles on a single contended CPU core can exceed 900s.
+        # dryrun_multichip enables a persistent compile cache, so only the
+        # first-ever run pays this.
+        timeout=2400,
     )
 
 
