@@ -56,7 +56,7 @@ def fwd_bwd_fn(model, train_bn=True, loss=losses.iou):
 
 
 def fused_fwd_bwd_fn(num_stacks=4, compute_dtype=jnp.bfloat16,
-                     loss=losses.iou):
+                     loss=losses.iou, kernel_backend="auto"):
     from single_person_pose_estimation_tpu.models.fused_train import (
         fused_train_apply,
     )
@@ -65,7 +65,8 @@ def fused_fwd_bwd_fn(num_stacks=4, compute_dtype=jnp.bfloat16,
         def loss_fn(p):
             outs, _ = fused_train_apply(
                 {"params": p, "batch_stats": stats}, images,
-                num_stacks=num_stacks, compute_dtype=compute_dtype)
+                num_stacks=num_stacks, compute_dtype=compute_dtype,
+                kernel_backend=kernel_backend)
             return jnp.sum(jnp.stack([loss(heatmaps, o).mean()
                                       for o in outs]))
         return jax.value_and_grad(loss_fn)(params)

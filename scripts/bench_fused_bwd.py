@@ -34,13 +34,14 @@ def main():
         imgs, hm = batch(B)
         timeit(f"fwd+bwd b{B} flax", fwd_bwd_fn(model), state.params,
                state.batch_stats, imgs, hm, B=B)
-        fused = fused_fwd_bwd_fn()
-        timeit(f"fwd+bwd b{B} fused", fused, state.params,
-               state.batch_stats, imgs, hm, B=B)
-        ca = fused.lower(state.params, state.batch_stats, imgs,
-                         hm).compile().cost_analysis()
-        print(f"  fused b{B}: {ca.get('flops',0)/1e12:.2f} TFLOP, "
-              f"{ca.get('bytes accessed',0)/1e9:.2f} GB", flush=True)
+        for kb in ("jnp", "pallas"):
+            fused = fused_fwd_bwd_fn(kernel_backend=kb)
+            timeit(f"fwd+bwd b{B} fused/{kb}", fused, state.params,
+                   state.batch_stats, imgs, hm, B=B)
+            ca = fused.lower(state.params, state.batch_stats, imgs,
+                             hm).compile().cost_analysis()
+            print(f"  fused/{kb} b{B}: {ca.get('flops',0)/1e12:.2f} TFLOP, "
+                  f"{ca.get('bytes accessed',0)/1e9:.2f} GB", flush=True)
 
     B = 64
     kx = jax.random.uniform(jax.random.PRNGKey(2), (B, 17)) * 64

@@ -32,7 +32,7 @@ from single_person_pose_estimation_tpu.ops.pallas.bottleneck_grad import (
     _BN_EPS,
     _bn_apply,
     _bn_stats,
-    bottleneck_train,
+    make_bottleneck_train,
 )
 
 _BN_MOMENTUM = 0.99
@@ -72,7 +72,7 @@ def _bottleneck_xla_train(params, x, name, channels, new_stats):
     return skip + y
 
 
-def _bottleneck_fused_train(params, x, name, new_stats):
+def _bottleneck_fused_train(params, x, name, new_stats, bneck_fn):
     p1 = params[name + "_conv_1x1_1"]
     p2 = params[name + "_conv_3x3_2"]
     p3 = params[name + "_conv_1x1_3"]
@@ -80,7 +80,7 @@ def _bottleneck_fused_train(params, x, name, new_stats):
     bn2 = params[name + "_conv_3x3_2_bn"]
     bn3 = params[name + "_conv_1x1_3_bn"]
     f32 = jnp.float32
-    out, stats = bottleneck_train(
+    out, stats = bneck_fn(
         x,
         p1["kernel"][0, 0], p1["bias"],
         p2["kernel"], p2["bias"],
@@ -107,17 +107,25 @@ def _upsample2x(x):
 
 
 @partial(jax.jit, static_argnames=("num_stacks", "compute_dtype",
-                                   "bn_momentum"))
+                                   "bn_momentum", "kernel_backend"))
 def fused_train_apply(
     variables: Any,
     images: jnp.ndarray,
     num_stacks: int = 4,
     compute_dtype=jnp.bfloat16,
     bn_momentum: float = _BN_MOMENTUM,
+    kernel_backend: str = "auto",
 ) -> Tuple[List[jnp.ndarray], Dict[str, Any]]:
     """Returns (per-stack heatmaps, new_batch_stats) — the same pair
     `model.apply(..., train=True, mutable=["batch_stats"])` yields (with
-    the mutated collection reassembled into the standard tree)."""
+    the mutated collection reassembled into the standard tree).
+
+    kernel_backend: "jnp" (plain-lax bottlenecks), "pallas" (fused
+    Pallas forward kernels), or "auto" (pallas on TPU, jnp elsewhere)."""
+    if kernel_backend == "auto":
+        kernel_backend = ("pallas" if jax.default_backend() == "tpu"
+                          else "jnp")
+    bneck_fn = make_bottleneck_train(kernel_backend)
     params = variables["params"]
     old_stats = variables["batch_stats"]
     new_stats: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
@@ -133,7 +141,8 @@ def fused_train_apply(
                               new_stats)
     y = _bottleneck_xla_train(params, y, "front_bottleneck_3", c, new_stats)
 
-    bneck = partial(_bottleneck_fused_train, params, new_stats=new_stats)
+    bneck = partial(_bottleneck_fused_train, params, new_stats=new_stats,
+                    bneck_fn=bneck_fn)
 
     outputs = []
     for i in range(num_stacks):

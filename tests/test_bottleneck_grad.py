@@ -3,6 +3,7 @@ autodiff of the identical forward — the correctness anchor for the fused
 training path."""
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -84,6 +85,92 @@ def test_forward_and_stats_match_flax_bn_semantics():
         np.asarray(mut["batch_stats"]["mean"]),
         np.asarray(0.99 * variables["batch_stats"]["mean"] + 0.01 * mu),
         atol=1e-6)
+
+
+def test_pallas_fwd_matches_jnp_f32():
+    """Pallas forward kernels (interpret mode) vs the plain-lax forward:
+    output, batch stats, and residuals."""
+    args, _ = make_inputs(jax.random.PRNGKey(3), B=2, H=8, W=8, C=32)
+    vals = [args[k] for k in ORDER]
+    out_j, stats_j, res_j = jax.jit(bg.bottleneck_train_fwd)(*vals)
+    fwd_p = jax.jit(partial(bg.bottleneck_train_fwd_pallas, interpret=True))
+    out_p, stats_p, res_p = fwd_p(*vals)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_j),
+                               atol=1e-5, rtol=1e-5)
+    for i, (sp, sj) in enumerate(zip(stats_p, stats_j)):
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(sj),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"stats[{i}]")
+    for i, (rp, rj) in enumerate(zip(res_p, res_j)):
+        np.testing.assert_allclose(np.asarray(rp), np.asarray(rj),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"residual[{i}]")
+
+
+@pytest.mark.parametrize("backend", ["pallas", "pallas_fwd", "pallas_bwd"])
+def test_pallas_backend_grads_match_autodiff_f32(backend):
+    """Grads through every pallas fwd/bwd combination vs jax autodiff of
+    the plain forward (residuals differ only by kernel rounding)."""
+    args, cot = make_inputs(jax.random.PRNGKey(4), B=2, H=8, W=8, C=32)
+    f = bg.make_bottleneck_train(backend, interpret=True)
+
+    def loss_p(a, c):
+        out, _ = f(*[a[k] for k in ORDER])
+        return jnp.sum(out.astype(jnp.float32) * c.astype(jnp.float32))
+
+    auto = jax.jit(jax.grad(_loss_auto))(args, cot)
+    custom = jax.jit(jax.grad(loss_p))(args, cot)
+    for k in ORDER:
+        np.testing.assert_allclose(
+            np.asarray(custom[k]), np.asarray(auto[k]),
+            atol=5e-4, rtol=5e-4, err_msg=f"grad mismatch for {k}")
+
+
+def test_pallas_bwd_multiblock_grid():
+    """Pallas bwd with batch > block size: dW/db/reduction accumulation
+    across sequential grid steps must match the plain bwd."""
+    args, cot = make_inputs(jax.random.PRNGKey(8), B=4, H=4, W=4, C=32)
+    vals = [args[k] for k in ORDER]
+    out, stats, res_core = bg.bottleneck_train_fwd(*vals)
+    res = (*res_core, *stats, args["w1"], args["w2"], args["w3"],
+           args["g1"], args["be1"], args["g2"], args["be2"],
+           args["g3"], args["be3"])
+    want = bg.bottleneck_train_bwd(res, cot)
+    import functools
+    from single_person_pose_estimation_tpu.ops.pallas import (
+        bottleneck_train_kernel as ker,
+    )
+    orig = ker.pick_nimg
+    ker.pick_nimg = lambda *a, **k: 1  # force 4 grid steps
+    try:
+        got = bg.bottleneck_train_bwd_pallas(res, cot, interpret=True)
+    finally:
+        ker.pick_nimg = orig
+    for i, (gv, wv) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(gv, np.float32), np.asarray(wv, np.float32),
+            atol=5e-4, rtol=5e-4, err_msg=f"bwd output {i}")
+
+
+def test_pallas_fwd_multiblock_grid():
+    """Batch larger than the per-step block: the stat accumulation across
+    sequential grid steps must equal the single-pass stats."""
+    from single_person_pose_estimation_tpu.ops.pallas import (
+        bottleneck_train_kernel as ker,
+    )
+
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (4, 4, 4, 32))
+    w = jax.random.normal(jax.random.PRNGKey(6), (32, 16)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(7), (16,)) * 0.1
+    a, sums = ker.conv1x1_relu_stats(x, w, b, interpret=True, nimg=1)
+    want = jnp.maximum(jnp.dot(x, w) + b, 0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sums[0]),
+                               np.asarray(want.sum((0, 1, 2))), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sums[1]),
+                               np.asarray((want * want).sum((0, 1, 2))),
+                               rtol=1e-5)
 
 
 def test_custom_bwd_bf16_close():
