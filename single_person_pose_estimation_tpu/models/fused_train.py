@@ -5,11 +5,32 @@ mutable=["batch_stats"])` on the non-mobile hourglass: same flax variables,
 same per-stack heatmaps, same updated running statistics — but every
 identity-skip hourglass bottleneck (15 per stack: the bulk of the FLOPs and
 the saved-activation traffic) routes through
-ops.pallas.bottleneck_grad.bottleneck_train, whose custom backward is the
-phase-fused form (BN/ReLU chain recomputed from saved conv outputs instead
-of materialized; per-channel BN reductions folded into the same passes as
-the conv grads). The front module (conv skips), pooling, upsampling and
-heads stay on XLA autodiff.
+ops.pallas.bottleneck_grad.make_bottleneck_train, whose custom backward is
+the phase-fused form (BN/ReLU chain recomputed from saved activations
+instead of materialized; per-channel BN reductions folded into the same
+passes as the conv grads). The front module (conv skips), pooling,
+upsampling and heads stay on XLA autodiff.
+
+MEASURED RESULT (v5e, S4/256, B=64, bf16; scripts/bench_fused_mixed.py):
+this path does NOT beat flax + XLA autodiff and is kept as a documented,
+equality-tested experiment:
+    flax/XLA autodiff     131 ms   (the default train path)
+    fused, jnp backend    136 ms   (115.9 GB vs 113 GB cost-analysis —
+                                    XLA re-materializes the recomputed
+                                    BN chains, erasing the residual
+                                    savings)
+    fused, pallas fwd     158 ms
+    fused, mixed 8-16     162 ms   (pallas only at the levels where it
+                                    wins in ISOLATION — embedded in the
+                                    full program the custom-call
+                                    boundaries still break XLA's fusion
+                                    and pipelining)
+Per-level isolation numbers are in scripts/bench_bottleneck_levels.py
+(pallas wins H=8/16 fwd+bwd by ~12%, loses H=64 where XLA's native
+conv-grad emitters beat shifted-matmul grads). The infrastructure stays:
+it is the only place the stacked-hourglass train step has a hand-derived,
+bit-verified backward, and the per-level backend dial makes future
+kernel improvements a one-line flip.
 
 Numerics: the forward is op-identical to the flax model (convs in
 compute_dtype with in-dtype bias add, flax BN fast-variance f32 stats);
@@ -72,7 +93,8 @@ def _bottleneck_xla_train(params, x, name, channels, new_stats):
     return skip + y
 
 
-def _bottleneck_fused_train(params, x, name, new_stats, bneck_fn):
+def _bottleneck_fused_train(params, x, name, new_stats, select_fn):
+    bneck_fn = select_fn(x.shape[1])
     p1 = params[name + "_conv_1x1_1"]
     p2 = params[name + "_conv_3x3_2"]
     p3 = params[name + "_conv_1x1_3"]
@@ -120,12 +142,30 @@ def fused_train_apply(
     `model.apply(..., train=True, mutable=["batch_stats"])` yields (with
     the mutated collection reassembled into the standard tree).
 
-    kernel_backend: "jnp" (plain-lax bottlenecks), "pallas" (fused
-    Pallas forward kernels), or "auto" (pallas on TPU, jnp elsewhere)."""
+    kernel_backend selects the bottleneck implementation
+    (ops/pallas/bottleneck_grad.make_bottleneck_train):
+      "jnp" / "pallas" / "pallas_fwd" / "pallas_bwd" — uniform;
+      "mixed:<LO>-<HI>" — pallas for levels with LO <= spatial size <= HI,
+                     jnp outside the band. Measured per level (v5e, B=64,
+                     scripts/bench_bottleneck_levels.py): pallas wins at
+                     H=8/16 (~12%, fwd+bwd), ties at H=4/32, and loses at
+                     H=64 where XLA's native conv-grad emitters beat the
+                     shifted-matmul 3x3 backward;
+      "auto"       — "jnp" everywhere: the measured-best fused config
+                     (see module docstring; the pallas mixes lose inside
+                     the full program)."""
     if kernel_backend == "auto":
-        kernel_backend = ("pallas" if jax.default_backend() == "tpu"
-                          else "jnp")
-    bneck_fn = make_bottleneck_train(kernel_backend)
+        kernel_backend = "jnp"
+    if kernel_backend.startswith("mixed:"):
+        lo, hi = (int(v) for v in
+                  kernel_backend.split(":", 1)[1].split("-"))
+
+        def select_fn(h):
+            return make_bottleneck_train(
+                "pallas" if lo <= h <= hi else "jnp")
+    else:
+        def select_fn(h):
+            return make_bottleneck_train(kernel_backend)
     params = variables["params"]
     old_stats = variables["batch_stats"]
     new_stats: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
@@ -142,7 +182,7 @@ def fused_train_apply(
     y = _bottleneck_xla_train(params, y, "front_bottleneck_3", c, new_stats)
 
     bneck = partial(_bottleneck_fused_train, params, new_stats=new_stats,
-                    bneck_fn=bneck_fn)
+                    select_fn=select_fn)
 
     outputs = []
     for i in range(num_stacks):

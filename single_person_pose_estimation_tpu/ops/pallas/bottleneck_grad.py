@@ -1,13 +1,20 @@
 """Training-mode hourglass bottleneck with a hand-fused backward pass.
 
 Why this exists: the train step is HBM-bandwidth-bound, not FLOPs-bound —
-fwd+bwd at B=64 moves ~113 GB in 131 ms (~859 GB/s, v5e speed-of-light)
-with the MXU at 27% (scripts/bench_bwd_variants.py). XLA's autodiff
-materializes every BN/ReLU intermediate of the backward chain in HBM, and
-remat policies make it worse (the recomputed chain is re-materialized, not
-fused — measured in models/hourglass.py `remat` docs). The fix is a
+fwd+bwd at B=64 moves ~113 GB in 131 ms (cost-analysis bytes) with the
+MXU at 27% (scripts/bench_bwd_variants.py). XLA's autodiff materializes
+every BN/ReLU intermediate of the backward chain in HBM, and remat
+policies make it worse (the recomputed chain is re-materialized, not
+fused — measured in models/hourglass.py `remat` docs). This module is a
 custom_vjp whose backward runs as a few fused passes that keep the
 elementwise BN/ReLU recomputation in registers/VMEM.
+
+MEASURED OUTCOME (v5e, S4/256, B=64 — see models/fused_train.py for the
+full table): neither the plain-lax phase backward (136 ms vs flax's
+131 ms) nor the Pallas phase kernels (158 ms; per-level wins only at
+H=8/16) beat XLA autodiff inside the full program, so the DEFAULT train
+path remains flax + XLA autodiff. Kept as the bit-verified backward
+derivation + per-level kernel dial for future tuning.
 
 Forward math (reference hourglass.py:184-206, identity skip, train mode —
 flax BatchNorm semantics replicated exactly: f32 stats, fast variance

@@ -36,6 +36,12 @@ from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
     pick_nimg,
 )
 
+# The 64x64-level blocks put several multi-MB operands plus f32 matmul
+# accumulators on the Mosaic stack — past the 16 MB default scoped
+# budget (measured: unit1x1_bwd needs 20.5 MB at H=64, B-block=1).
+# v5e has 128 MB VMEM/core; 40 MB leaves room for double-buffered DMA.
+_VMEM_LIMIT = 40 * 1024 * 1024
+
 
 def _conv1x1_relu_stats_kernel(x_ref, sc_ref, sh_ref, w_ref, b_ref,
                                a_ref, sums_ref, *, N, H, W, Cin, Cout,
@@ -99,6 +105,8 @@ def conv1x1_relu_stats(x, w, b, scale=None, shift=None,
             jax.ShapeDtypeStruct((B, H, W, Cout), dt),
             jax.ShapeDtypeStruct((2, Cout), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(x, scale.reshape(1, -1).astype(jnp.float32),
       shift.reshape(1, -1).astype(jnp.float32),
@@ -162,6 +170,8 @@ def conv3x3_relu_stats(x, w, b, scale, shift, interpret: bool = False,
             jax.ShapeDtypeStruct((B, H, W, Cout), dt),
             jax.ShapeDtypeStruct((2, Cout), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(x, scale.reshape(1, -1).astype(jnp.float32),
       shift.reshape(1, -1).astype(jnp.float32),
@@ -220,6 +230,8 @@ def bn_bwd_reduce(dz, a, interpret: bool = False, nimg: int = 0):
         out_specs=pl.BlockSpec((2, C), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(dz, a)
 
@@ -303,6 +315,8 @@ def unit1x1_bwd(dz, a, cin, w, k, aff=None, affine_cin: bool = True,
             jax.ShapeDtypeStruct((1, C), jnp.float32),
             jax.ShapeDtypeStruct((2, Cm), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(dz, a, cin, w.astype(dt), k.astype(jnp.float32),
       aff.astype(jnp.float32))
@@ -381,6 +395,8 @@ def unit3x3_bwd(dz, a, cin, w, k, aff, interpret: bool = False,
             jax.ShapeDtypeStruct((1, C), jnp.float32),
             jax.ShapeDtypeStruct((2, C), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(dz, a, cin, w.astype(dt), k.astype(jnp.float32),
       aff.astype(jnp.float32))
@@ -436,5 +452,7 @@ def unit1_bwd(dz, a, x, g, w, k, interpret: bool = False, nimg: int = 0):
             jax.ShapeDtypeStruct((C, Cm), jnp.float32),
             jax.ShapeDtypeStruct((1, Cm), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(dz, a, x, g, w.astype(dt), k.astype(jnp.float32))
