@@ -21,7 +21,11 @@ Measured (v5e, S4/256, B=128, bf16), round-2 progression:
     headroom, 3015 vs 3128): 2474;
   * + fused head/inter-stack glue (ops.pallas.head_kernel — the 1x1-conv
     chain was ~16 MB/image/stack of HBM round trips, cut to ~7): 3128
-    img/s, +33% over XLA. This configuration is bench.py's default path.
+    img/s, +33% over XLA;
+  * + fuse_bottom (ops.pallas.bottom_kernel — the whole <=8px subtree,
+    six bottlenecks + pool + upsample+add, in ONE launch; that region is
+    launch-latency-bound): 3101 vs 3072 img/s same-session A/B (+1%).
+    This configuration is bench.py's default path.
 Numerics: exact vs model.apply at f32 (<=7e-6) for all fusion levels
 (tests/test_fused_inference.py); at bf16 divergence is rounding-level
 (~1e-2) and compounds through the inter-stack feedback as with any
@@ -43,6 +47,10 @@ from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
     fused_bottleneck,
     fused_bottleneck_pool,
     pick_nimg,
+)
+from single_person_pose_estimation_tpu.ops.pallas.bottom_kernel import (
+    fused_bottom,
+    pack_bottom_params,
 )
 from single_person_pose_estimation_tpu.ops.pallas.head_kernel import (
     fused_head,
@@ -136,7 +144,7 @@ def _upsample2x(x):
 @partial(jax.jit, static_argnames=("num_stacks", "compute_dtype", "interpret",
                                    "fuse_levels", "bneck_rows",
                                    "uplevel_rows", "pool_fuse_max_h",
-                                   "fuse_heads"))
+                                   "fuse_heads", "fuse_bottom"))
 def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 compute_dtype=jnp.bfloat16,
                 interpret: bool = False,
@@ -144,7 +152,8 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 bneck_rows: int = 4096,
                 uplevel_rows: int = 4096,
                 pool_fuse_max_h: int = 0,
-                fuse_heads: bool = False) -> List[jnp.ndarray]:
+                fuse_heads: bool = False,
+                fuse_bottom: bool = False) -> List[jnp.ndarray]:
     """Drop-in for `model.apply(variables, images, train=False)` on the
     non-mobile hourglass, with Pallas-fused hourglass bottlenecks.
 
@@ -187,12 +196,22 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
         f1, pd = down(y, name + "_downsample_f1")
         f2, pd = down(pd, name + "_downsample_f2")
         f4, pd = down(pd, name + "_downsample_f4")
-        f8, b = down(pd, name + "_downsample_f8")
-        b = bneck(x=b, name=name + "_downsample_f8_1")
-        b = bneck(x=b, name=name + "_downsample_f8_2")
-        b = bneck(x=b, name=name + "_downsample_f8_3")
-        u = b
-        for feat, lvl in ((f8, "f8"), (f4, "f4"), (f2, "f2"), (f1, "f1")):
+        if fuse_bottom:
+            # Whole <=8px subtree (six bottlenecks + pool + upsample+add)
+            # in ONE launch — this region is launch-latency-bound.
+            u = fused_bottom(
+                pd, *pack_bottom_params(params, stats, name, bn_affine,
+                                        _BN_EPS),
+                interpret=interpret)
+            levels = ((f4, "f4"), (f2, "f2"), (f1, "f1"))
+        else:
+            f8, b = down(pd, name + "_downsample_f8")
+            b = bneck(x=b, name=name + "_downsample_f8_1")
+            b = bneck(x=b, name=name + "_downsample_f8_2")
+            b = bneck(x=b, name=name + "_downsample_f8_3")
+            u = b
+            levels = ((f8, "f8"), (f4, "f4"), (f2, "f2"), (f1, "f1"))
+        for feat, lvl in levels:
             if fuse_levels:
                 u = fused_uplevel(
                     feat, u,
