@@ -29,10 +29,11 @@ def bench_inference(num_stacks=4, num_channels=256, batch=128, iters=20,
                     compute_dtype=jnp.bfloat16):
     """Default path: Pallas-fused inference (models/fused_inference.py) —
     batch-blocked bottleneck/uplevel kernels, pool fusion at the <=32px
-    levels, fused head + inter-stack glue, and the <=8px subtree as one
-    launch (fuse_bottom). Measured (v5e, S4/256, B=128, bf16): 3101 img/s
-    (fuse_bottom +1% over 3072) vs 2348 for the plain XLA model; equality
-    tested in tests/test_fused_inference.py."""
+    levels, fused head + inter-stack glue. Measured (v5e, S4/256, B=128,
+    bf16): ~3080-3130 img/s vs 2348 for the plain XLA model (+33%);
+    equality tested in tests/test_fused_inference.py. The fuse_bottom
+    subtree megakernel measured a ~0.7% LOSS in an interleaved A/B
+    (3059 vs 3079 median) and stays off — see bottom_kernel.py."""
     from single_person_pose_estimation_tpu.models.fused_inference import (
         fused_apply,
     )
@@ -50,8 +51,7 @@ def bench_inference(num_stacks=4, num_channels=256, batch=128, iters=20,
         img = images * (1.0 + 1e-6 * prev)
         out = fused_apply(variables, img, num_stacks=num_stacks,
                           compute_dtype=compute_dtype, fuse_levels=True,
-                          pool_fuse_max_h=32, fuse_heads=True,
-                          fuse_bottom=True)[-1]
+                          pool_fuse_max_h=32, fuse_heads=True)[-1]
         return jnp.mean(out)
 
     images = jax.random.uniform(jax.random.PRNGKey(1),

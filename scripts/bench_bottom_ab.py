@@ -1,4 +1,4 @@
-"""A/B the fuse_bottom megakernel on the default fused inference path."""
+"""Interleaved A/B: fuse_bottom=0 vs 1 on the default fused path."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
@@ -14,24 +14,29 @@ variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)),
                        train=False)
 images = jax.random.uniform(jax.random.PRNGKey(1), (B, 256, 256, 3))
 
-def run(tag, **kw):
+def make(depth):
     @jax.jit
     def f(v, x, prev):
         img = x * (1.0 + 1e-6 * prev)
         out = fused_apply(v, img, fuse_levels=True, pool_fuse_max_h=32,
-                          fuse_heads=True, **kw)[-1]
+                          fuse_heads=True, fuse_bottom=depth)[-1]
         return jnp.mean(out)
-    prev = jnp.zeros(())
-    prev = f(variables, images, prev); float(prev)
-    prev = jnp.zeros(())
-    t0 = time.perf_counter()
-    for _ in range(20):
-        prev = f(variables, images, prev)
-    float(prev)
-    dt = time.perf_counter() - t0
-    print(f"{tag}: {B*20/dt:.0f} img/s", flush=True)
+    return f
 
-run("default           ")
-run("+fuse_bottom d1   ", fuse_bottom=1)
-run("+fuse_bottom d2   ", fuse_bottom=2)
-run("+fuse_bottom d3   ", fuse_bottom=3)
+fns = {0: make(0), 1: make(1)}
+for d, f in fns.items():
+    float(f(variables, images, jnp.zeros(())))  # compile+warm
+
+results = {0: [], 1: []}
+for round_ in range(6):
+    for d in (0, 1):
+        prev = jnp.zeros(())
+        t0 = time.perf_counter()
+        for _ in range(15):
+            prev = fns[d](variables, images, prev)
+        float(prev)
+        results[d].append(B * 15 / (time.perf_counter() - t0))
+for d in (0, 1):
+    r = sorted(results[d])
+    print(f"depth {d}: median {r[len(r)//2]:.0f} img/s, "
+          f"all {[round(v) for v in results[d]]}", flush=True)

@@ -22,10 +22,13 @@ Measured (v5e, S4/256, B=128, bf16), round-2 progression:
   * + fused head/inter-stack glue (ops.pallas.head_kernel — the 1x1-conv
     chain was ~16 MB/image/stack of HBM round trips, cut to ~7): 3128
     img/s, +33% over XLA;
-  * + fuse_bottom (ops.pallas.bottom_kernel — the whole <=8px subtree,
-    six bottlenecks + pool + upsample+add, in ONE launch; that region is
-    launch-latency-bound): 3101 vs 3072 img/s same-session A/B (+1%).
-    This configuration is bench.py's default path.
+  * + fuse_bottom (ops.pallas.bottom_kernel — the innermost subtree,
+    depth d = 6..12 bottlenecks + pools + upsample+adds, in ONE launch):
+    a measured NON-win. Interleaved A/B medians: depth 0 = 3079, depth 1
+    = 3059 (-0.7%); depth 2 = 2981, depth 3 = 2898 — one serialized
+    megakernel loses to Mosaic pipelining separate small kernels. Kept
+    as a documented experiment; OFF in bench.py's default path (which is
+    fuse_levels + pool_fuse_max_h=32 + fuse_heads).
 Numerics: exact vs model.apply at f32 (<=7e-6) for all fusion levels
 (tests/test_fused_inference.py); at bf16 divergence is rounding-level
 (~1e-2) and compounds through the inter-stack feedback as with any
@@ -49,8 +52,8 @@ from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
     pick_nimg,
 )
 from single_person_pose_estimation_tpu.ops.pallas.bottom_kernel import (
-    fused_bottom,
-    pack_bottom_params,
+    fused_subtree,
+    pack_subtree_params,
 )
 from single_person_pose_estimation_tpu.ops.pallas.head_kernel import (
     fused_head,
@@ -153,7 +156,7 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 uplevel_rows: int = 4096,
                 pool_fuse_max_h: int = 0,
                 fuse_heads: bool = False,
-                fuse_bottom: bool = False) -> List[jnp.ndarray]:
+                fuse_bottom: int = 0) -> List[jnp.ndarray]:
     """Drop-in for `model.apply(variables, images, train=False)` on the
     non-mobile hourglass, with Pallas-fused hourglass bottlenecks.
 
@@ -193,25 +196,27 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
         # 2268 img/s) — the 64x64 level's raised VMEM budget cost Mosaic
         # its double-buffering headroom. pool_fuse_max_h lets the small
         # levels fuse their pools while 64x64 keeps the XLA pool.
-        f1, pd = down(y, name + "_downsample_f1")
-        f2, pd = down(pd, name + "_downsample_f2")
-        f4, pd = down(pd, name + "_downsample_f4")
-        if fuse_bottom:
-            # Whole <=8px subtree (six bottlenecks + pool + upsample+add)
-            # in ONE launch — this region is launch-latency-bound.
-            u = fused_bottom(
-                pd, *pack_bottom_params(params, stats, name, bn_affine,
-                                        _BN_EPS),
-                interpret=interpret)
-            levels = ((f4, "f4"), (f2, "f2"), (f1, "f1"))
+        # Encoder: the outer levels run level-by-level; the innermost
+        # `depth` levels (fuse_bottom = 0..3) run as ONE subtree launch —
+        # that region is launch-latency-bound (bottom_kernel.py).
+        depth = int(fuse_bottom)
+        outer_levels = ["f1", "f2", "f4", "f8"][:4 - depth]
+        skips = []
+        pd = y
+        for lname in outer_levels:
+            f, pd = down(pd, f"{name}_downsample_{lname}")
+            skips.append((f, lname))
+        if depth:
+            u = fused_subtree(
+                pd, *pack_subtree_params(params, stats, name, bn_affine,
+                                         depth, _BN_EPS),
+                depth=depth, interpret=interpret)
         else:
-            f8, b = down(pd, name + "_downsample_f8")
-            b = bneck(x=b, name=name + "_downsample_f8_1")
+            b = bneck(x=pd, name=name + "_downsample_f8_1")
             b = bneck(x=b, name=name + "_downsample_f8_2")
             b = bneck(x=b, name=name + "_downsample_f8_3")
             u = b
-            levels = ((f8, "f8"), (f4, "f4"), (f2, "f2"), (f1, "f1"))
-        for feat, lvl in levels:
+        for feat, lvl in reversed(skips):
             if fuse_levels:
                 u = fused_uplevel(
                     feat, u,

@@ -1,23 +1,32 @@
-"""Pallas TPU kernel: the hourglass's entire <=8px subtree in ONE launch.
+"""Pallas TPU kernel: an hourglass SUBTREE (innermost levels) in ONE launch.
 
-Per stack, the fused inference path (models/fused_inference.py) spends six
-kernel launches plus two XLA ops on tensors of at most (B, 8, 8, 256):
-    f8 = bneck(x8); b = maxpool(f8)              # 8x8 -> 4x4
-    b = bneck(b); b = bneck(b); b = bneck(b)     # bottom block, 4x4
-    d = bneck(f8); u = d + upsample2x(b)         # decoder level f8
-    u = bneck(u)                                 # merged, 8x8
-At this size the work per launch is tiny (a whole (64, 8, 8, 256) block
-is 2 MB) and the sequence is launch-latency-bound, not bandwidth-bound —
-scripts/bench_bottleneck_levels.py measured a ~0.6 ms floor per
-bottleneck in chained execution regardless of backend. This kernel runs
-the whole subtree per grid step: six bottlenecks' weights stay resident
-in VMEM (~2.5 MB bf16), every intermediate lives and dies in VMEM, and
-the only HBM traffic is x8 in / u out.
+Hypothesis this kernel tested: per stack, the fused inference path
+(models/fused_inference.py) spends a kernel launch per bottleneck on
+tensors where a whole batch-block is a couple of MB, so the innermost
+levels might be launch-latency-bound. This kernel runs the whole
+innermost subtree per grid step:
+
+    depth=1: f8 level (8x8) + bottom block  = 6 bottlenecks, 1 pool, 1 up
+    depth=2: + f4 level (16x16)             = 9 bottlenecks, 2 pools/ups
+    depth=3: + f2 level (32x32)             = 12 bottlenecks, 3 pools/ups
+
+All weight sets stay resident in VMEM (bf16, ~0.42 MB per bottleneck at
+C=256) and every intermediate lives and dies in VMEM; the only HBM
+traffic is the subtree input in / decoder output out.
 
 Inference-only (folded BN affines), identity-skip bottlenecks only —
-exactly the six hg{i}_{downsample_f8, downsample_f8_1..3,
-upsample_f8_short, upsample_f8_merged} bottlenecks (reference
-hourglass.py:127-157). Equality-tested in tests/test_fused_inference.py.
+the hg{i} downsample/bottom/upsample bottlenecks of reference
+hourglass.py:127-157. Equality-tested in tests/test_fused_inference.py.
+
+MEASURED RESULT (v5e, S4/256, B=128, on top of the default fused path):
+a NON-win, kept as a documented experiment. Interleaved A/B medians:
+depth 0 (off) 3079 img/s; depth 1 3059 (-0.7%); depth 2 2981; depth 3
+2898. The hypothesis (launch-latency-bound region) was wrong for the
+REAL fused path: Mosaic pipelines consecutive small kernels' DMAs and
+compute across launches, while one megakernel serializes the whole
+subtree per grid step. The ~0.6 ms/bottleneck floor seen in
+scripts/bench_bottleneck_levels.py chains comes from the loop-carried
+data dependency there, not from launch overhead.
 """
 
 from __future__ import annotations
@@ -29,22 +38,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Bottleneck order inside the packed weight tables.
-BNECK_ORDER = ("downsample_f8", "downsample_f8_1", "downsample_f8_2",
-               "downsample_f8_3", "upsample_f8_short", "upsample_f8_merged")
+# Innermost-first level names (relative to the hourglass, not absolute
+# resolution): depth d covers _LEVELS[:d].
+_LEVELS = ("f8", "f4", "f2", "f1")
 
 
-def _make_kernel(N, H, Cin, Cmid):
-    """H is the top spatial size (8); the bottom runs at H//2. ab rows
-    per bneck i: [b1|b2|b3|a1|c1|a2|c2|a3|c3] as (6, 9, max(Cin, Cmid))."""
+def bneck_order(depth: int):
+    """Flat bottleneck order for a depth-d subtree — the SAME recursive
+    walk the kernel performs, so packed index == execution index."""
+    def walk(d):
+        if d == 0:
+            return ["downsample_f8_1", "downsample_f8_2",
+                    "downsample_f8_3"]
+        lvl = _LEVELS[d - 1]
+        return ([f"downsample_{lvl}"] + walk(d - 1)
+                + [f"upsample_{lvl}_short", f"upsample_{lvl}_merged"])
+    return walk(depth)
 
+
+def _make_kernel(N, H_top, Cin, Cmid, depth):
     def bneck(v, i, w1_ref, w2_ref, w3_ref, ab_ref, h):
-        """v: (N, h, h, Cin) -> same; folded-BN identity-skip bottleneck."""
+        """Folded-BN identity-skip bottleneck, (N, h, h, Cin) -> same.
+        ab rows per bneck i: [b1|b2|b3|a1|c1|a2|c2|a3|c3]."""
         dt = v.dtype
         r = N * h * h
         vf = v.reshape(r, Cin)
         z1 = jnp.dot(vf, w1_ref[i],
-                     preferred_element_type=jnp.float32) + ab_ref[i, 0:1, :Cmid]
+                     preferred_element_type=jnp.float32) + ab_ref[i, 0:1,
+                                                                  :Cmid]
         t1 = (jnp.maximum(z1, 0.0) * ab_ref[i, 3:4, :Cmid]
               + ab_ref[i, 4:5, :Cmid]).astype(dt).reshape(N, h, h, Cmid)
         t1p = jnp.pad(t1, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -57,46 +78,57 @@ def _make_kernel(N, H, Cin, Cmid):
         t2 = (jnp.maximum(acc + ab_ref[i, 1:2, :Cmid], 0.0)
               * ab_ref[i, 5:6, :Cmid] + ab_ref[i, 6:7, :Cmid]).astype(dt)
         z3 = jnp.dot(t2, w3_ref[i],
-                     preferred_element_type=jnp.float32) + ab_ref[i, 2:3, :Cin]
+                     preferred_element_type=jnp.float32) + ab_ref[i, 2:3,
+                                                                  :Cin]
         t3 = (jnp.maximum(z3, 0.0) * ab_ref[i, 7:8, :Cin]
               + ab_ref[i, 8:9, :Cin])
         out = vf.astype(jnp.float32) + t3
         return out.astype(dt).reshape(N, h, h, Cin)
 
     def kernel(x_ref, w1_ref, w2_ref, w3_ref, ab_ref, out_ref):
-        x = x_ref[...]                                   # (N, H, H, Cin)
         args = (w1_ref, w2_ref, w3_ref, ab_ref)
-        f8 = bneck(x, 0, *args, H)
-        # 2x2/s2 maxpool via reshape-splits (minor dim untouched).
-        p = jnp.max(f8.reshape(N, H // 2, 2, H, Cin), axis=2)
-        b = jnp.max(p.reshape(N, H // 2, H // 2, 2, Cin), axis=3)
-        b = bneck(b, 1, *args, H // 2)
-        b = bneck(b, 2, *args, H // 2)
-        b = bneck(b, 3, *args, H // 2)
-        d = bneck(f8, 4, *args, H)
-        # Nearest-neighbor 2x upsample + add, all in VMEM.
-        up = jnp.broadcast_to(
-            b[:, :, None, :, None, :],
-            (N, H // 2, 2, H // 2, 2, Cin)).reshape(N, H, H, Cin)
-        u = d + up
-        out_ref[...] = bneck(u, 5, *args, H)
+        counter = [0]
+
+        def nxt():
+            i = counter[0]
+            counter[0] += 1
+            return i
+
+        def walk(x, d, h):
+            if d == 0:
+                for _ in range(3):
+                    x = bneck(x, nxt(), *args, h)
+                return x
+            f = bneck(x, nxt(), *args, h)
+            # 2x2/s2 maxpool via reshape-splits (minor dim untouched).
+            p = jnp.max(f.reshape(N, h // 2, 2, h, Cin), axis=2)
+            p = jnp.max(p.reshape(N, h // 2, h // 2, 2, Cin), axis=3)
+            inner = walk(p, d - 1, h // 2)
+            dshort = bneck(f, nxt(), *args, h)
+            up = jnp.broadcast_to(
+                inner[:, :, None, :, None, :],
+                (N, h // 2, 2, h // 2, 2, Cin)).reshape(N, h, h, Cin)
+            return bneck(dshort + up, nxt(), *args, h)
+
+        out_ref[...] = walk(x_ref[...], depth, H_top)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret", "nimg"))
-def fused_bottom(x, w1s, w2s, w3s, ab, interpret: bool = False,
-                 nimg: int = 0):
-    """x: (B, 8, 8, C). w1s (6, C, Cm), w2s (6, 3, 3, Cm, Cm),
-    w3s (6, Cm, C), ab (6, 9, max(C, Cm)) f32 packed
-    [b1|b2|b3|a1|c1|a2|c2|a3|c3]. Returns the decoder's 8x8 output u."""
+@partial(jax.jit, static_argnames=("depth", "interpret", "nimg"))
+def fused_subtree(x, w1s, w2s, w3s, ab, depth: int = 1,
+                  interpret: bool = False, nimg: int = 0):
+    """x: (B, H, H, C) — the depth-d subtree's input level. Packed
+    weights from pack_subtree_params (nb = 3*depth + 3 bottlenecks):
+    w1s (nb, C, Cm), w2s (nb, 3, 3, Cm, Cm), w3s (nb, Cm, C),
+    ab (nb, 9, max(C, Cm)) f32. Returns the decoder output at (B, H, H, C)."""
     B, H, _, Cin = x.shape
     Cmid = w1s.shape[-1]
     dt = x.dtype
     N = nimg or min(B, max(1, 4096 // (H * H)))
     while B % N:
         N -= 1
-    kernel = _make_kernel(N, H, Cin, Cmid)
+    kernel = _make_kernel(N, H, Cin, Cmid, depth)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -116,11 +148,12 @@ def fused_bottom(x, w1s, w2s, w3s, ab, interpret: bool = False,
       ab.astype(jnp.float32))
 
 
-def pack_bottom_params(params, stats, stack_name, bn_affine, eps=1e-3):
-    """Pack the six <=8px bottlenecks' weights/affine tables for
-    fused_bottom. Returns (w1s, w2s, w3s, ab)."""
+def pack_subtree_params(params, stats, stack_name, bn_affine, depth: int = 1,
+                        eps: float = 1e-3):
+    """Pack the subtree bottlenecks' weights/affine tables for
+    fused_subtree. Returns (w1s, w2s, w3s, ab)."""
     w1s, w2s, w3s, abs_ = [], [], [], []
-    for suffix in BNECK_ORDER:
+    for suffix in bneck_order(depth):
         name = f"{stack_name}_{suffix}"
         p1 = params[name + "_conv_1x1_1"]
         p2 = params[name + "_conv_3x3_2"]
@@ -147,3 +180,18 @@ def pack_bottom_params(params, stats, stack_name, bn_affine, eps=1e-3):
         abs_.append(rows)
     return (jnp.stack(w1s), jnp.stack(w2s), jnp.stack(w3s),
             jnp.stack(abs_))
+
+
+# Backwards-compatible aliases for the depth-1 ("<=8px") variant.
+BNECK_ORDER = tuple(bneck_order(1))
+
+
+def fused_bottom(x, w1s, w2s, w3s, ab, interpret: bool = False,
+                 nimg: int = 0):
+    return fused_subtree(x, w1s, w2s, w3s, ab, depth=1,
+                         interpret=interpret, nimg=nimg)
+
+
+def pack_bottom_params(params, stats, stack_name, bn_affine, eps=1e-3):
+    return pack_subtree_params(params, stats, stack_name, bn_affine,
+                               depth=1, eps=eps)

@@ -202,3 +202,20 @@ def test_fused_bottom_multiblock():
     one = fused_bottom(x8, *packed, interpret=True, nimg=4)
     two = fused_bottom(x8, *packed, interpret=True, nimg=2)
     np.testing.assert_allclose(np.asarray(one), np.asarray(two), atol=1e-5)
+
+
+def test_fused_subtree_depths_match_flax():
+    """fuse_bottom depths 2 and 3 (<=16px / <=32px subtrees in one
+    launch) must match flax exactly at f32. 128px inputs put f1 at 32px
+    so depth=3 covers f2@8, f4@16... i.e. all non-f1 levels."""
+    model = StackedHourglass(num_stacks=2, num_channels=32,
+                             compute_dtype=jnp.float32)
+    v = randomized_variables(model, size=128)
+    x = jax.random.uniform(jax.random.PRNGKey(10), (2, 128, 128, 3))
+    want = model.apply(v, x, train=False)
+    for depth in (2, 3):
+        got = fused_apply(v, x, num_stacks=2, compute_dtype=jnp.float32,
+                          interpret=True, fuse_bottom=depth)
+        for a, b in zip(want, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, err_msg=f"depth={depth}")
