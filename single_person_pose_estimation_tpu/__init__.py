@@ -29,6 +29,7 @@ __all__ = [
     "create_hourglass_model",
     "Trainer",
     "DatasetBuilder",
+    "PoseServer",
 ]
 
 
@@ -46,4 +47,7 @@ def __getattr__(name):
             DatasetBuilder,
         )
         return DatasetBuilder
+    if name == "PoseServer":
+        from single_person_pose_estimation_tpu.serving import PoseServer
+        return PoseServer
     raise AttributeError(name)
