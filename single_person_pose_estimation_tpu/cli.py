@@ -132,6 +132,55 @@ def cmd_eval(args, cfg: Config):
     eval_pck(preds, COCO_KEYPOINT_LABELS, pck_threshold=args.pck_threshold)
 
 
+def cmd_serve(args, cfg: Config):
+    """Serve pose estimation over a directory of images (a smoke-level
+    stand-in for a network front end: same PoseServer core a real
+    deployment would wrap)."""
+    import glob as globlib
+
+    import numpy as np
+
+    from single_person_pose_estimation_tpu.serving import PoseServer
+    from single_person_pose_estimation_tpu.utils.model_utils import (
+        load_model_from_checkpoint,
+    )
+
+    model = _build_model(cfg)
+    state, meta = load_model_from_checkpoint(
+        model, cfg.checkpoints_path, best=not args.latest,
+        input_shape=(1, cfg.image_height, cfg.image_width, 3))
+    print(f"Loaded checkpoint meta: {meta}")
+    server = PoseServer(model, state.params, state.batch_stats,
+                        buckets=tuple(args.buckets),
+                        transfer_dtype=args.transfer_dtype)
+    server.warmup(image_shape=(cfg.image_height, cfg.image_width, 3))
+    paths = sorted(globlib.glob(args.images))
+    if not paths:
+        raise SystemExit(f"no images match {args.images!r}")
+    from single_person_pose_estimation_tpu.data.images import (
+        read_image, resize_bilinear,
+    )
+
+    futures = {}
+    for path in paths:
+        img = read_image(path).astype(np.float32) / 255.0
+        img = resize_bilinear(img, (cfg.image_height, cfg.image_width))
+        futures[path] = server.submit(img)
+    records = {}
+    for path, fut in futures.items():
+        kps = np.asarray(fut.result())
+        records[path] = kps.tolist()
+    stats = server.stats()
+    server.close()
+    import json
+
+    with open(args.save_path, "w") as f:
+        json.dump(records, f)
+    print(f"{len(records)} images -> {args.save_path}; "
+          f"p50 {stats['latency_p50_ms']:.1f} ms, "
+          f"avg batch {stats['avg_batch']:.1f}")
+
+
 def cmd_bench(args, cfg: Config):
     import runpy
 
@@ -179,6 +228,16 @@ def main(argv=None):
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)
+
+    sv = sub.add_parser("serve", help="run PoseServer over an image glob")
+    sv.add_argument("--images", required=True,
+                    help="glob of image files to serve")
+    sv.add_argument("--save-path", default="keypoints.json")
+    sv.add_argument("--latest", action="store_true")
+    sv.add_argument("--buckets", type=int, nargs="+", default=[1, 4, 16])
+    sv.add_argument("--transfer-dtype", default="uint8",
+                    choices=["uint8", "bfloat16", "float32"])
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     cfg = _apply_overrides(Config(), args.overrides)

@@ -54,3 +54,54 @@ def test_eval_flags_present():
                   "--set", "image_height=64", "--set", "image_width=64",
                   "eval", "--latest", "--recalibrate-batches", "2",
                   "--conf-threshold", "0.2"])
+
+
+def test_serve_end_to_end(tmp_path):
+    """cli serve: checkpoint -> PoseServer over a glob of jpegs -> JSON."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from single_person_pose_estimation_tpu.data.images import encode_jpeg
+    from single_person_pose_estimation_tpu.training import steps
+    from single_person_pose_estimation_tpu.training.checkpoint import (
+        CheckpointManager,
+    )
+
+    cfg_sets = ["--set", f"temporary_dir={tmp_path}",
+                "--set", "hg_num_stacks=1", "--set", "hg_num_channels=8",
+                "--set", "image_height=64", "--set", "image_width=64",
+                "--set", "label_height=16", "--set", "label_width=16",
+                "--set", "async_checkpointing=false"]
+    from single_person_pose_estimation_tpu.configs.default_config import (
+        Config,
+    )
+
+    cfg = cli._apply_overrides(Config(), [a for a in cfg_sets
+                                          if a != "--set"])
+    model = cli._build_model(cfg)
+    tx = steps.make_optimizer(1e-3)
+    state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                    input_shape=(1, 64, 64, 3))
+    mgr = CheckpointManager(cfg.checkpoints_path, async_checkpointing=False)
+    mgr.save(epoch=1, state=state, meta={"val_loss": 1.0})
+    if hasattr(mgr, "close"):
+        mgr.close()
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        (tmp_path / f"img{i}.jpg").write_bytes(encode_jpeg(img))
+
+    out = tmp_path / "kp.json"
+    cli.main(cfg_sets + ["serve", "--images", str(tmp_path / "*.jpg"),
+                         "--save-path", str(out), "--latest",
+                         "--buckets", "1", "2",
+                         "--transfer-dtype", "float32"])
+    records = json.loads(out.read_text())
+    assert len(records) == 3
+    for kps in records.values():
+        arr = np.asarray(kps)
+        assert arr.shape == (17, 3)
+        assert np.isfinite(arr).all()
