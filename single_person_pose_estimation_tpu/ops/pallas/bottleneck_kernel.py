@@ -67,8 +67,15 @@ def pick_nimg(B: int, H: int, W: int, target_rows: int = 4096) -> int:
     Batch-blocking amortizes the weight DMA over several images and turns
     the small levels' skinny (HW, Cmid) matmuls into MXU-filling ones
     (8x8: M=64 -> M=4096) — the levels where the per-image grid lost to
-    XLA (VERDICT.md Weak #2 / Next #3)."""
-    cap = max(1, target_rows // (H * W))
+    XLA (VERDICT.md Weak #2 / Next #3).
+
+    A second cap bounds PADDED rows (N*(H+2)*(W+2) <= 8000): the 3x3's
+    per-image zero-pad inflates small levels' VMEM footprint (at 4x4 the
+    padded copy is 2.25x the block), and at B=256 the unpadded-rows cap
+    alone let the 4x4 level pick N=256 — an 18.5 MB Mosaic stack, 2.5 MB
+    over budget. 8000 keeps every B<=128 choice unchanged."""
+    cap = max(1, min(target_rows // (H * W),
+                     8000 // ((H + 2) * (W + 2))))
     n = 1
     for d in range(1, cap + 1):
         if B % d == 0:
