@@ -48,6 +48,7 @@ from jax import lax
 from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
     bn_affine,
     fused_bottleneck,
+    fused_bottleneck_convskip,
     fused_bottleneck_pool,
     pick_nimg,
 )
@@ -93,6 +94,26 @@ def _bottleneck_xla(params, stats, x, name, channels):
     y = jnp.maximum(_conv(params, y, name + "_conv_1x1_3"), 0)
     y = _bn(params, stats, y, name + "_conv_1x1_3_bn")
     return skip + y
+
+
+def _bottleneck_front_fused(params, stats, x, name, channels, interpret,
+                            rows=4096):
+    """Front bottleneck via the fused kernels: identity-skip reuses
+    fused_bottleneck; channel-changing skips use the conv-skip variant."""
+    p = _bneck_params(params, stats, name)
+    B, H, W, _ = x.shape
+    n = pick_nimg(B, H, W, rows)
+    if x.shape[-1] == channels:
+        return fused_bottleneck(
+            x, p["w1"], p["b1"], p["w2"], p["b2"], p["w3"], p["b3"],
+            p["a1"], p["c1"], p["a2"], p["c2"], p["a3"], p["c3"],
+            interpret=interpret, nimg=n)
+    ps = params[name + "_skip"]
+    return fused_bottleneck_convskip(
+        x, ps["kernel"][0, 0], ps["bias"],
+        p["w1"], p["b1"], p["w2"], p["b2"], p["w3"], p["b3"],
+        p["a1"], p["c1"], p["a2"], p["c2"], p["a3"], p["c3"],
+        interpret=interpret, nimg=n)
 
 
 def _bneck_params(params, stats, name):
@@ -147,7 +168,8 @@ def _upsample2x(x):
 @partial(jax.jit, static_argnames=("num_stacks", "compute_dtype", "interpret",
                                    "fuse_levels", "bneck_rows",
                                    "uplevel_rows", "pool_fuse_max_h",
-                                   "fuse_heads", "fuse_bottom"))
+                                   "fuse_heads", "fuse_bottom",
+                                   "fuse_front"))
 def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 compute_dtype=jnp.bfloat16,
                 interpret: bool = False,
@@ -156,7 +178,8 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 uplevel_rows: int = 4096,
                 pool_fuse_max_h: int = 0,
                 fuse_heads: bool = False,
-                fuse_bottom: int = 0) -> List[jnp.ndarray]:
+                fuse_bottom: int = 0,
+                fuse_front: bool = False) -> List[jnp.ndarray]:
     """Drop-in for `model.apply(variables, images, train=False)` on the
     non-mobile hourglass, with Pallas-fused hourglass bottlenecks.
 
@@ -172,10 +195,19 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
     y = jnp.maximum(_conv(params, x, "front_conv_1x1_1", stride=2), 0)
     y = _bn(params, stats, y, "front_conv_1x1_1_bn")
     c = params["front_bottleneck_3_conv_1x1_3"]["kernel"].shape[-1]
+    # front_bottleneck_1 runs at the half-res level (128px for 256px
+    # inputs), where a whole-map-per-image block exceeds the Mosaic VMEM
+    # budget — it stays on XLA even with fuse_front.
     y = _bottleneck_xla(params, stats, y, "front_bottleneck_1", c // 2)
     y = _maxpool(y)
-    y = _bottleneck_xla(params, stats, y, "front_bottleneck_2", c // 2)
-    y = _bottleneck_xla(params, stats, y, "front_bottleneck_3", c)
+    if fuse_front:
+        y = _bottleneck_front_fused(params, stats, y, "front_bottleneck_2",
+                                    c // 2, interpret)
+        y = _bottleneck_front_fused(params, stats, y, "front_bottleneck_3",
+                                    c, interpret)
+    else:
+        y = _bottleneck_xla(params, stats, y, "front_bottleneck_2", c // 2)
+        y = _bottleneck_xla(params, stats, y, "front_bottleneck_3", c)
 
     bneck = partial(_bottleneck_fused, params, stats, interpret=interpret,
                     rows=bneck_rows)

@@ -224,3 +224,82 @@ def fused_bottleneck_pool(x, w1, b1, w2, b2, w3, b3,
       c2.reshape(1, -1).astype(jnp.float32),
       a3.reshape(1, -1).astype(jnp.float32),
       c3.reshape(1, -1).astype(jnp.float32))
+
+
+def _bottleneck_convskip_kernel(x_ref, ws_ref, w1_ref, w2_ref, w3_ref,
+                                b_ref, a1_ref, c1_ref, a2_ref, c2_ref,
+                                a3_ref, c3_ref, out_ref, *,
+                                N, H, W, Cin, Cmid, Cout):
+    """Bottleneck whose skip is a 1x1 conv + relu (no BN) — the front
+    module's channel-changing bottlenecks (reference hourglass.py:184-193,
+    Cin != Cout branch)."""
+    x = x_ref[...]                                   # (N, H, W, Cin)
+    xf = x.reshape(N * H * W, Cin)
+    skip = jnp.maximum(
+        jnp.dot(xf, ws_ref[...],
+                preferred_element_type=jnp.float32) + b_ref[3:4, :Cout],
+        0.0).astype(x.dtype)
+    z1 = jnp.dot(xf, w1_ref[...],
+                 preferred_element_type=jnp.float32) + b_ref[0:1, :Cmid]
+    t1 = jnp.maximum(z1, 0.0) * a1_ref[...] + c1_ref[...]
+    t1 = t1.astype(x.dtype).reshape(N, H, W, Cmid)
+    t1p = jnp.pad(t1, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((N * H * W, Cmid), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            sl = t1p[:, dy:dy + H, dx:dx + W, :].reshape(N * H * W, Cmid)
+            acc = acc + jnp.dot(sl, w2_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+    t2 = jnp.maximum(acc + b_ref[1:2, :Cmid], 0.0) * a2_ref[...] + c2_ref[...]
+    t2 = t2.astype(x.dtype)
+    z3 = jnp.dot(t2, w3_ref[...],
+                 preferred_element_type=jnp.float32) + b_ref[2:3, :Cout]
+    t3 = (jnp.maximum(z3, 0.0) * a3_ref[...] + c3_ref[...]).astype(x.dtype)
+    out_ref[...] = (skip + t3).reshape(N, H, W, Cout)
+
+
+@partial(jax.jit, static_argnames=("interpret", "nimg"))
+def fused_bottleneck_convskip(x, ws, bs, w1, b1, w2, b2, w3, b3,
+                              a1, c1, a2, c2, a3, c3,
+                              interpret: bool = False, nimg: int = 0):
+    """Conv-skip bottleneck: out = relu(x @ ws + bs) + bn3(relu(...)).
+    x (B, H, W, Cin); ws (Cin, Cout); w3 (Cm, Cout). Returns
+    (B, H, W, Cout)."""
+    B, H, W, Cin = x.shape
+    Cmid = w1.shape[1]
+    Cout = ws.shape[1]
+    dt = x.dtype
+    N = nimg or pick_nimg(B, H, W)
+    bmax = max(Cin, Cmid, Cout)
+    b_tab = jnp.zeros((4, bmax), jnp.float32)
+    b_tab = b_tab.at[0, :Cmid].set(b1.astype(jnp.float32))
+    b_tab = b_tab.at[1, :Cmid].set(b2.astype(jnp.float32))
+    b_tab = b_tab.at[2, :Cout].set(b3.astype(jnp.float32))
+    b_tab = b_tab.at[3, :Cout].set(bs.astype(jnp.float32))
+
+    kernel = partial(_bottleneck_convskip_kernel, N=N, H=H, W=W,
+                     Cin=Cin, Cmid=Cmid, Cout=Cout)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // N,),
+        in_specs=[
+            pl.BlockSpec((N, H, W, Cin), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(), full(), full(), full(), full(),
+            full(), full(), full(), full(), full(), full(),
+        ],
+        out_specs=pl.BlockSpec((N, H, W, Cout), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+        interpret=interpret,
+    )(x, ws.astype(dt), w1.astype(dt), w2.astype(dt), w3.astype(dt),
+      b_tab,
+      a1.reshape(1, -1).astype(jnp.float32),
+      c1.reshape(1, -1).astype(jnp.float32),
+      a2.reshape(1, -1).astype(jnp.float32),
+      c2.reshape(1, -1).astype(jnp.float32),
+      a3.reshape(1, -1).astype(jnp.float32),
+      c3.reshape(1, -1).astype(jnp.float32))

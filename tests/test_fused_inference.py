@@ -219,3 +219,23 @@ def test_fused_subtree_depths_match_flax():
         for a, b in zip(want, got):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, err_msg=f"depth={depth}")
+
+
+def test_fuse_front_matches_flax():
+    """fuse_front (fused front bottlenecks incl. the conv-skip variant)
+    must match flax exactly at f32."""
+    model = StackedHourglass(num_stacks=2, num_channels=32,
+                             compute_dtype=jnp.float32)
+    v = randomized_variables(model)
+    x = jax.random.uniform(jax.random.PRNGKey(11), (2, 64, 64, 3))
+    want = model.apply(v, x, train=False)
+    got = fused_apply(v, x, num_stacks=2, compute_dtype=jnp.float32,
+                      interpret=True, fuse_front=True)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    got_all = fused_apply(v, x, num_stacks=2, compute_dtype=jnp.float32,
+                          interpret=True, fuse_levels=True,
+                          pool_fuse_max_h=8, fuse_heads=True,
+                          fuse_front=True)
+    for a, b in zip(want, got_all):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -127,3 +127,30 @@ def test_bad_transfer_dtype():
     with pytest.raises(ValueError, match="transfer_dtype"):
         PoseServer(model, variables["params"], variables["batch_stats"],
                    use_fused=False, transfer_dtype="int4")
+
+
+def test_mesh_sharded_server():
+    """PoseServer with a data-axis mesh: batches are sharded over the
+    8-device CPU mesh and results still match the direct forward."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:8]) if len(jax.devices()) >= 8 else None
+    if devices is None:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(devices, ("data",))
+    model = StackedHourglass(num_stacks=1, num_channels=16)
+    variables = model.init(jax.random.PRNGKey(7),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    server = PoseServer(model, variables["params"],
+                        variables["batch_stats"], buckets=(8,),
+                        max_wait_s=0.05, use_fused=False,
+                        transfer_dtype="float32", mesh=mesh)
+    try:
+        server.warmup(image_shape=(64, 64, 3))
+        imgs = np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(8), (8, 64, 64, 3)))
+        got = server.predict(imgs)
+        want = _direct(model, variables, imgs)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    finally:
+        server.close()
