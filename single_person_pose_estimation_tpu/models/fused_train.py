@@ -50,7 +50,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from single_person_pose_estimation_tpu.ops.pallas.bottleneck_grad import (
-    _BN_EPS,
     _bn_apply,
     _bn_stats,
     make_bottleneck_train,

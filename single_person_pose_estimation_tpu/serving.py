@@ -43,7 +43,7 @@ import threading
 import time
 from concurrent.futures import Future
 from functools import partial
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

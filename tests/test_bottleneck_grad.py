@@ -136,7 +136,6 @@ def test_pallas_bwd_multiblock_grid():
            args["g1"], args["be1"], args["g2"], args["be2"],
            args["g3"], args["be3"])
     want = bg.bottleneck_train_bwd(res, cot)
-    import functools
     from single_person_pose_estimation_tpu.ops.pallas import (
         bottleneck_train_kernel as ker,
     )
