@@ -144,3 +144,52 @@ def test_bf16_outputs_close(setup):
                                                                 images)
     for got, w in zip(outs, want):
         assert np.abs(np.asarray(got) - np.asarray(w)).max() < 0.05
+
+
+def test_fused_backend_under_dp_mesh(setup):
+    """model_backend='fused' composed with the GSPMD data-parallel mesh:
+    one sharded step must match the single-device fused step.
+
+    SGD, not Adam: Adam's m-hat/sqrt(v-hat) amplifies f32
+    reduction-order noise (~1e-7) in near-zero gradients into +-lr
+    param deltas (same rationale as
+    test_parallel.test_data_parallel_matches_single_device)."""
+    import optax
+    from jax.sharding import Mesh
+
+    from single_person_pose_estimation_tpu.configs.default_config import (
+        Config,
+    )
+    from single_person_pose_estimation_tpu.training import steps
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    model, _, images, _ = setup
+    cfg = Config()
+    tx = optax.sgd(0.01)
+    B = 8
+    batch = {
+        "image": jax.image.resize(
+            jnp.tile(images, (2, 1, 1, 1)), (B, 256, 256, 3), "bilinear"),
+        "kx": jnp.full((B, 17), 20.0),
+        "ky": jnp.full((B, 17), 30.0),
+        "kv": jnp.full((B, 17), 2, jnp.int32),
+    }
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    results = {}
+    for tag, kwargs in (("single", {}), ("mesh", {"mesh": mesh})):
+        state = steps.TrainState.create(model, tx, jax.random.PRNGKey(3))
+        step = steps.make_train_step(model, tx, losses.iou, cfg,
+                                     augment=False, model_backend="fused",
+                                     **kwargs)
+        state, metrics = step(state, batch)
+        results[tag] = (state, float(metrics["loss"]))
+    assert results["mesh"][1] == pytest.approx(results["single"][1],
+                                               abs=1e-5)
+    flat_m = jax.tree_util.tree_leaves_with_path(results["mesh"][0].params)
+    flat_s = dict(
+        jax.tree_util.tree_leaves_with_path(results["single"][0].params))
+    for path, leaf in flat_m:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_s[path]), atol=5e-4,
+            err_msg=jax.tree_util.keystr(path))

@@ -180,3 +180,45 @@ def test_auto_resume_exhausts_restarts(mini):
     with pytest.raises(RuntimeError, match="injected fault"):
         train_with_auto_resume(make, target_epochs=10, max_restarts=2)
     assert injector.fired == 3          # initial try + 2 restarts
+
+
+def test_bn_frozen_train_step():
+    """bn_mode='frozen': params train, running statistics do not move."""
+    import jax.numpy as jnp
+
+    from single_person_pose_estimation_tpu import losses
+    from single_person_pose_estimation_tpu.configs.default_config import (
+        Config,
+    )
+    from single_person_pose_estimation_tpu.models.hourglass import (
+        StackedHourglass,
+    )
+    from single_person_pose_estimation_tpu.training import steps
+
+    model = StackedHourglass(num_stacks=1, num_channels=16)
+    cfg = Config()
+    tx = steps.make_optimizer(1e-2)
+    state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                    input_shape=(1, 256, 256, 3))
+    B = 4
+    batch = {
+        "image": jax.random.uniform(jax.random.PRNGKey(1),
+                                    (B, 256, 256, 3)),
+        "kx": jnp.full((B, 17), 20.0),
+        "ky": jnp.full((B, 17), 30.0),
+        "kv": jnp.full((B, 17), 2, jnp.int32),
+    }
+    step = steps.make_train_step(model, tx, losses.weighted_mse, cfg,
+                                 augment=False, bn_mode="frozen")
+    stats_before = jax.tree.map(np.asarray, state.batch_stats)
+    first = None
+    for _ in range(4):
+        state, m = step(state, batch)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first  # params are training
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        stats_before, state.batch_stats)  # stats untouched
+    with pytest.raises(ValueError, match="bn_mode"):
+        steps.make_train_step(model, tx, losses.mse, cfg, bn_mode="bogus")
