@@ -45,7 +45,8 @@ def _mean_metrics(collected) -> Dict[str, float]:
 class Trainer:
     def __init__(self, model, ds_builder, epochs: int, learning_rate: float,
                  loss_str: str, config: Config,
-                 mesh: Optional[Mesh] = None, augment: bool = True):
+                 mesh: Optional[Mesh] = None, augment: bool = True,
+                 bn_mode: str = "batch"):
         self.model = model
         self.config = config
         self.epochs = epochs
@@ -68,7 +69,8 @@ class Trainer:
         if mesh is not None:
             self.state = jax.device_put(self.state, mesh_lib.replicated(mesh))
         self.train_step = steps_lib.make_train_step(
-            model, self.tx, self.loss_fn, config, mesh=mesh, augment=augment)
+            model, self.tx, self.loss_fn, config, mesh=mesh, augment=augment,
+            bn_mode=bn_mode)
         self.eval_step = steps_lib.make_eval_step(
             model, self.loss_fn, config, mesh=mesh)
 
