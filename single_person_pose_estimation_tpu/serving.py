@@ -178,6 +178,8 @@ class PoseServer:
     def predict(self, images: np.ndarray) -> np.ndarray:
         """Synchronous batch convenience: (N, H, W, 3) -> (N, K, 3)."""
         futs = [self.submit(img) for img in images]
+        if not futs:
+            return np.zeros((0, 17, 3), np.float32)
         return np.stack([f.result() for f in futs])
 
     def stats(self) -> dict:
