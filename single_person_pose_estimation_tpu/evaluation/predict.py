@@ -22,14 +22,33 @@ from single_person_pose_estimation_tpu.ops.decode import _decode_v2, decode_v1
 
 
 def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
-                           legacy: bool = True, version: int = 2):
+                           legacy: bool = True, version: int = 2,
+                           use_fused="auto", interpret: bool = False):
     """Jitted (params, batch_stats, images) -> (B, K, 3) keypoints in
-    heatmap pixel units, fusing forward + decode on device."""
+    heatmap pixel units, fusing forward + decode on device.
+
+    use_fused: route the forward through the Pallas-fused inference path
+    (models/fused_inference.py, +30% measured: 3,093 vs 2,372 img/s
+    incl. decode at B=128 on v5e). "auto" = on TPU for the non-mobile
+    hourglass; the flax path is the fallback everywhere else."""
+    if use_fused == "auto":
+        use_fused = (jax.default_backend() == "tpu"
+                     and not getattr(model, "mobile", False))
 
     @jax.jit
     def fn(params, batch_stats, images):
-        hms = model.apply({"params": params, "batch_stats": batch_stats},
-                          images, train=False)[-1]
+        variables = {"params": params, "batch_stats": batch_stats}
+        if use_fused:
+            from single_person_pose_estimation_tpu.models.fused_inference import (
+                fused_apply,
+            )
+            hms = fused_apply(variables, images,
+                              num_stacks=model.num_stacks,
+                              compute_dtype=model.compute_dtype,
+                              fuse_levels=True, pool_fuse_max_h=32,
+                              fuse_heads=True, interpret=interpret)[-1]
+        else:
+            hms = model.apply(variables, images, train=False)[-1]
         if version == 1:
             dec = partial(decode_v1, conf_threshold=conf_threshold)
         else:

@@ -309,3 +309,29 @@ def test_predict_ds_records(tmp_path):
     for k in range(17):
         if vs[k] > 0:
             assert p["xs/gt"][k] == pytest.approx(xs_orig[k], abs=1e-4)
+
+
+def test_predict_decode_fused_path_matches_flax():
+    """make_predict_decode_fn(use_fused=True) must decode the same
+    keypoints as the flax path (f32, interpreter-mode kernels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from single_person_pose_estimation_tpu.evaluation.predict import (
+        make_predict_decode_fn,
+    )
+    from single_person_pose_estimation_tpu.models.hourglass import (
+        StackedHourglass,
+    )
+
+    model = StackedHourglass(num_stacks=2, num_channels=32,
+                             compute_dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    plain = make_predict_decode_fn(model, use_fused=False)
+    fused = make_predict_decode_fn(model, use_fused=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fused(v["params"], v["batch_stats"], x)),
+        np.asarray(plain(v["params"], v["batch_stats"], x)),
+        atol=1e-4)
