@@ -52,3 +52,29 @@ def test_golden_reference_parity(path):
 
 def test_golden_fixtures_exist():
     assert GOLDEN, "no golden fixtures committed under tests/fixtures/"
+
+
+@pytest.mark.parametrize(
+    "path", [p for p in GOLDEN if "mobile" not in p],
+    ids=[os.path.basename(p) for p in GOLDEN if "mobile" not in p])
+def test_golden_reference_parity_fused_path(path):
+    """The Pallas-fused inference path must ALSO match the recorded
+    reference outputs — kernel-level parity, not just flax parity
+    (interpreter-mode kernels; non-mobile fixtures only)."""
+    from single_person_pose_estimation_tpu.models.fused_inference import (
+        fused_apply,
+    )
+
+    import jax.numpy as jnp
+
+    data = dict(np.load(path))
+    stacks, channels, size, mobile = (int(v) for v in data["meta"])
+    variables = unflatten_variables(data)
+    outs = fused_apply(variables, jnp.asarray(data["x"]),
+                       num_stacks=stacks, compute_dtype=jnp.float32,
+                       interpret=True, fuse_levels=True,
+                       pool_fuse_max_h=size // 8, fuse_heads=True)
+    for i in range(stacks):
+        np.testing.assert_allclose(
+            np.asarray(outs[i]), data[f"ref_out_{i}"], atol=1e-4,
+            err_msg=f"fused path diverges from reference, stack {i}")
