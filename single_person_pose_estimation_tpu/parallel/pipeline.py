@@ -382,24 +382,36 @@ def make_pipeline_train_step(
         return new_state, metrics
 
     from jax.sharding import NamedSharding
+    from jax.tree_util import tree_map_with_path
     repl = NamedSharding(mesh, P())
     piped = NamedSharding(mesh, P(pipe_axis))
     data = NamedSharding(mesh, P(data_axis)) if data_axis else repl
 
-    def leaf_sharding(leaf):
-        # Stacked leaves (and their Adam moments, which mirror the param
-        # trees) carry the num_stacks leading axis: biases/BN vectors become
-        # 2-D (S, C), conv kernels 5-D (S, kh, kw, I, O). Front/scalar
-        # leaves keep their original ranks (1-D and 4-D), so rank+dim0
-        # identifies what shards over pipe.
-        shape = getattr(leaf, "shape", ())
-        if len(shape) in (2, 5) and shape[0] == model.num_stacks:
-            return piped
+    # Shardings are derived STRUCTURALLY from the known state layout:
+    # front/step/rng replicated, stacked sharded over `pipe`. Optimizer
+    # state mirrors the (front_params, stacked_params) tuple via tree_map
+    # (optax convention), so an opt_state leaf is pipe-sharded iff its
+    # pytree path descends through a stacked param dict key (the `hg0_*`
+    # names from split_pipeline_variables); scalars like Adam's `count`
+    # and front mirrors stay replicated. No shape matching — a replicated
+    # leaf that happens to have a num_stacks-sized dim0 cannot be
+    # mis-sharded.
+    def opt_leaf_sharding(path, _leaf):
+        for k in path:
+            name = getattr(k, "key", None)
+            if isinstance(name, str) and name.startswith("hg0_"):
+                return piped
         return repl
 
     example = jax.eval_shape(
         lambda: PipelineTrainState.create(model, tx, jax.random.PRNGKey(0)))
-    state_sh = jax.tree.map(leaf_sharding, example)
+    state_sh = PipelineTrainState(
+        step=repl,
+        front=jax.tree.map(lambda _: repl, example.front),
+        stacked=jax.tree.map(lambda _: piped, example.stacked),
+        opt_state=tree_map_with_path(opt_leaf_sharding, example.opt_state),
+        rng=repl,
+    )
     return jax.jit(step, in_shardings=(state_sh, data),
                    out_shardings=(state_sh, repl), donate_argnums=(0,))
 

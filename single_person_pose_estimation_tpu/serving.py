@@ -66,7 +66,11 @@ class PoseServer:
       decode_version / legacy / conf_threshold: reference decode knobs
         (utilities/data_utils.py:100-183).
       mesh: optional jax.sharding.Mesh with a "data" axis for multi-chip
-        batch sharding.
+        batch sharding. Every bucket must be divisible by the data-axis
+        size (device_put of a 1-row batch over 8 devices cannot shard);
+        buckets are rounded UP to the nearest multiple automatically and
+        deduplicated, so e.g. (1, 4, 16, 64) over an 8-way mesh becomes
+        (8, 16, 64).
     """
 
     def __init__(self, model, params, batch_stats,
@@ -82,9 +86,13 @@ class PoseServer:
                  interpret: bool = False):
         if sorted(set(buckets)) != list(buckets):
             raise ValueError(f"buckets must be ascending+unique: {buckets}")
+        if mesh is not None:
+            dsz = mesh.shape["data"]
+            buckets = tuple(sorted({-(-b // dsz) * dsz for b in buckets}))
         self._model = model
         self._variables = {"params": params, "batch_stats": batch_stats}
         self._buckets = tuple(buckets)
+        self._bucket_set = frozenset(self._buckets)
         self._max_wait_s = max_wait_s
         self._interpret = interpret
         if use_fused == "auto":
@@ -179,7 +187,7 @@ class PoseServer:
         """Synchronous batch convenience: (N, H, W, 3) -> (N, K, 3)."""
         futs = [self.submit(img) for img in images]
         if not futs:
-            return np.zeros((0, 17, 3), np.float32)
+            return np.zeros((0, self._model.num_classes, 3), np.float32)
         return np.stack([f.result() for f in futs])
 
     def stats(self) -> dict:
@@ -200,9 +208,14 @@ class PoseServer:
             return
         self._closed = True
         self._queue.put(None)  # wake the batcher
-        self._thread.join(timeout=30)
+        # Join WITHOUT a timeout: a timed-out join here would enqueue the
+        # resolver sentinel ahead of a still-in-flight batch (e.g. one
+        # stuck in a long cold compile), leaving its futures unresolved
+        # forever. The batcher always terminates once it drains to the
+        # sentinel, so this wait is finite.
+        self._thread.join()
         self._inflight.put(None)  # wake the resolver after the batcher
-        self._resolver.join(timeout=30)
+        self._resolver.join()
 
     def __enter__(self):
         return self
@@ -224,14 +237,20 @@ class PoseServer:
         deadline = time.perf_counter() + self._max_wait_s
         max_batch = self._buckets[-1]
         while len(batch) < max_batch:
-            remaining = deadline - time.perf_counter()
-            # Once a bucket boundary is exactly filled, stop early only
-            # if nothing is immediately available.
-            try:
-                item = self._queue.get(timeout=max(0.0, remaining)) \
-                    if remaining > 0 else self._queue.get_nowait()
-            except queue.Empty:
-                break
+            if len(batch) in self._bucket_set:
+                # Bucket boundary exactly filled: ship immediately unless
+                # more work is already queued (no padding, no extra wait).
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+            else:
+                remaining = deadline - time.perf_counter()
+                try:
+                    item = self._queue.get(timeout=remaining) \
+                        if remaining > 0 else self._queue.get_nowait()
+                except queue.Empty:
+                    break
             if item is None:
                 self._queue.put(None)  # re-signal shutdown after draining
                 break
