@@ -32,8 +32,12 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
     incl. decode at B=128 on v5e). "auto" = on TPU for the non-mobile
     hourglass; the flax path is the fallback everywhere else."""
     if use_fused == "auto":
+        # 2-byte compute dtypes only: the fused kernels' VMEM blocking is
+        # tuned for bf16 — at f32 the 64px level exceeds the 16 MB scoped
+        # VMEM limit (measured on v5e; scripts/validate_fused_tpu.py).
         use_fused = (jax.default_backend() == "tpu"
-                     and not getattr(model, "mobile", False))
+                     and not getattr(model, "mobile", False)
+                     and jnp.dtype(model.compute_dtype).itemsize == 2)
 
     @jax.jit
     def fn(params, batch_stats, images):

@@ -33,7 +33,18 @@ Numerics: exact vs model.apply at f32 (<=7e-6) for all fusion levels
 (tests/test_fused_inference.py); at bf16 divergence is rounding-level
 (~1e-2) and compounds through the inter-stack feedback as with any
 reordered bf16 accumulation (these kernels accumulate in f32 — more
-precisely than the bf16 XLA path).
+precisely than the bf16 XLA path). On-HARDWARE parity (compiled Mosaic,
+not interpret mode) is asserted by scripts/validate_fused_tpu.py at
+S4/256 @ 256^2, B in {1, 128}, f32 and bf16, for every flag combination
+plus the eval/serving wiring; results table in PERF.md.
+
+VMEM constraint: the kernels' blocking is tuned for 2-byte compute
+dtypes. At f32 every buffer doubles and the 64px level exceeds the
+default 16 MB scoped-VMEM limit even at one image per grid step
+(measured on v5e: 23.77 MB). Callers with compute_dtype=float32 must
+either stay on model.apply (eval/serving "auto" does this) or raise
+--xla_tpu_scoped_vmem_limit_kib via jit compiler_options as
+scripts/validate_fused_tpu.py does.
 """
 
 from __future__ import annotations

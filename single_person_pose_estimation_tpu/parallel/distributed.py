@@ -26,14 +26,26 @@ def initialize(coordinator_address: Optional[str] = None,
     """Initialize the JAX distributed runtime (idempotent, single-process
     safe). On TPU pods the arguments are auto-discovered from the
     environment; pass them explicitly elsewhere."""
-    if jax.process_count() > 1:
+    # Do NOT probe jax.process_count() here: it initializes the backend,
+    # after which jax.distributed.initialize always fails ("must be called
+    # before any JAX computations") — a bug this wrapper originally had,
+    # caught by the 2-process test (tests/_multihost_worker.py). Check the
+    # distributed client state directly instead.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
     except (ValueError, RuntimeError):
+        if explicit:
+            # Caller named a coordinator: failing to join it is an error,
+            # not a single-process fallback.
+            raise
         # Single-process environment (no cluster variables): nothing to do.
         pass
 

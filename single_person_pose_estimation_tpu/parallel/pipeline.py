@@ -25,8 +25,12 @@ Interface contract mirrors the sequential model exactly in eval mode:
 `pipeline_forward(...)` equals `model.apply(...)[last]` (tested to 1e-5 in
 tests/test_pipeline.py). In train mode BatchNorm uses per-microbatch batch
 statistics — the standard PP semantics (each microbatch normalizes with its
-own moments); running stats are not updated inside the pipeline (pair with
-training.steps.recalibrate_batch_stats for eval-mode stats).
+own moments) — and make_pipeline_train_step CARRIES the running statistics:
+front stats EMA-update with full-batch moments once per step, stacked stats
+once per valid microbatch tick inside the GPipe scan, so eval after
+pipelined training uses trained stats. recalibrate_pipeline_batch_stats
+offers the same post-hoc refresh as the sequential trainer's
+training.steps.recalibrate_batch_stats.
 
 The true last stack's pruned next-stage head convs (reference
 hourglass.py:71-93; pruned per Train.ipynb's 13,784,260 param count) are
@@ -144,10 +148,11 @@ def _stage_modules(model: StackedHourglass):
 
 def _stage_apply(stage: HourglassStage, svars, x, train: bool):
     if train:
-        (nx, head), _ = stage.apply(svars, x, True, mutable=["batch_stats"])
-    else:
-        nx, head = stage.apply(svars, x, False)
-    return nx, head.astype(jnp.float32)
+        (nx, head), mut = stage.apply(svars, x, True,
+                                      mutable=["batch_stats"])
+        return nx, head.astype(jnp.float32), mut["batch_stats"]
+    nx, head = stage.apply(svars, x, False)
+    return nx, head.astype(jnp.float32), None
 
 
 def _pipeline_engine(
@@ -156,14 +161,18 @@ def _pipeline_engine(
     pipe_axis: str,
     train: bool,
     loss_fn: Optional[Callable] = None,
+    carry_stats: bool = False,
 ):
     """shard_map'd GPipe loop. Returns fn(stacked_vars, x0_mb[, targets_mb]).
 
     In predict mode (loss_fn None) returns the last stack's heatmaps
     (M, mb, h, w, K), replicated over `pipe`. In loss mode returns
     (total_loss_scalar, per_stack_losses[num_stacks]) averaged over
-    microbatches, matching losses.per_stack_losses + sum semantics.
-    """
+    microbatches, matching losses.per_stack_losses + sum semantics; with
+    carry_stats=True it additionally returns the updated BatchNorm running
+    statistics (EMA with the model's bn_momentum applied once per VALID
+    microbatch tick — i.e. standard per-microbatch BN semantics, as if
+    training sequentially at the microbatch size)."""
     n_stages = int(mesh.shape[pipe_axis])
     other_axes = [a for a in mesh.axis_names if a != pipe_axis]
     # Batch dims may ride other mesh axes (dp x pp): spell them out so the
@@ -172,14 +181,21 @@ def _pipeline_engine(
     act_spec = P(None, data_axis)  # (M, mb, h, w, C)
     ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
+    # With carry_stats the stage runs at bn_momentum=0 so the flax BN
+    # mutation returns the RAW batch moments of each microbatch; the EMA
+    # with the model's momentum is applied explicitly in the scan carry
+    # (masked on valid ticks only — fill/drain ticks must not decay stats).
+    mom = float(stage.bn_momentum)
+    run_stage = stage.clone(bn_momentum=0.0) if carry_stats else stage
+
     def device_fn(stacked_local, x0_mb, targets_mb):
         p = jax.lax.axis_index(pipe_axis)
         M = x0_mb.shape[0]
         k_local = jax.tree.leaves(stacked_local)[0].shape[0]
 
         def stack_body(x, svars):
-            nx, head = _stage_apply(stage, svars, x, train)
-            return nx, head
+            nx, head, moments = _stage_apply(run_stage, svars, x, train)
+            return nx, (head, moments)
 
         # Only one accumulator is live per mode; the other stays a scalar so
         # the scan carry doesn't haul a dead (M, mb, h, w, K) buffer around.
@@ -188,14 +204,18 @@ def _pipeline_engine(
                     if loss_fn is None else jnp.zeros(()))
         loss_acc = jnp.zeros((k_local,), jnp.float32)
 
+        stats0 = (stacked_local["batch_stats"] if carry_stats
+                  else jnp.zeros(()))
+
         def tick(carry, t):
-            buf, preds, lacc = carry
+            buf, preds, lacc, stats = carry
             m = jnp.clip(t - p, 0, M - 1)
             inp = jnp.where(p == 0,
                             jax.lax.dynamic_index_in_dim(
                                 x0_mb, jnp.clip(t, 0, M - 1), keepdims=False),
                             buf)
-            out_x, heads = jax.lax.scan(stack_body, inp, stacked_local)
+            out_x, (heads, moments) = jax.lax.scan(stack_body, inp,
+                                                   stacked_local)
             valid = ((t - p) >= 0) & ((t - p) < M)
             if loss_fn is None:
                 contrib = jnp.where(valid & (p == n_stages - 1),
@@ -209,12 +229,20 @@ def _pipeline_engine(
                 per_stack = jax.vmap(
                     lambda h: jnp.mean(loss_fn(tgt, h)))(heads)
                 lacc = lacc + jnp.where(valid, per_stack, 0.0)
+            if carry_stats:
+                # moments carry no gradient signal; cut the tape so the
+                # pipeline VJP doesn't haul their cotangent structure.
+                stats = jax.tree.map(
+                    lambda s, mo: jnp.where(
+                        valid, mom * s + (1.0 - mom)
+                        * jax.lax.stop_gradient(mo), s),
+                    stats, moments)
             nxt = jax.lax.ppermute(out_x, pipe_axis, ring)
-            return (nxt, preds, lacc), None
+            return (nxt, preds, lacc, stats), None
 
         buf0 = jnp.zeros(x0_mb.shape[1:], x0_mb.dtype)
-        (_, preds, lacc), _ = jax.lax.scan(
-            tick, (buf0, pred_acc, loss_acc),
+        (_, preds, lacc, stats), _ = jax.lax.scan(
+            tick, (buf0, pred_acc, loss_acc, stats0),
             jnp.arange(M + n_stages - 1))
         if loss_fn is None:
             # Only the last stage wrote non-zeros; psum replicates to all.
@@ -227,10 +255,19 @@ def _pipeline_engine(
         # Per-stack vector stays sharded over pipe (gathered by out_spec);
         # the scalar total sums every stage's stacks.
         total = jax.lax.psum(jnp.sum(lacc), pipe_axis)
+        if carry_stats:
+            # BN moments are computed per-device over the local batch shard;
+            # average over the data axes so stats reflect the global batch
+            # (and stay identical across data-parallel replicas).
+            for ax in other_axes:
+                stats = jax.tree.map(lambda s: jax.lax.pmean(s, ax), stats)
+            return total, lacc, stats
         return total, lacc
 
     if loss_fn is None:
         out_specs = act_spec
+    elif carry_stats:
+        out_specs = (P(), P(pipe_axis), P(pipe_axis))
     else:
         out_specs = (P(), P(pipe_axis))
     return shard_map(
@@ -321,8 +358,14 @@ def make_pipeline_train_step(
     replicated, batch over the `data` axis if present).
 
     Mirrors training.steps.make_train_step's (state, batch) -> (state,
-    metrics) contract; BN uses per-microbatch statistics and running stats
-    are not updated (PP semantics — see the module docstring).
+    metrics) contract. BatchNorm normalizes each microbatch with its own
+    moments (standard PP semantics) AND the running statistics are carried:
+    the front EMA-updates once per step with full-batch moments (exactly
+    the sequential trainer), the stacked stages once per microbatch inside
+    the GPipe scan (cross-data-axis pmean'd), so a pipelined train -> eval
+    round trip uses trained stats, not init-time ones. After short runs the
+    usual BN-momentum caveat applies exactly as in the sequential trainer —
+    pair with recalibrate_pipeline_batch_stats if needed.
     """
     from single_person_pose_estimation_tpu.ops.augment import augment_batch
     from single_person_pose_estimation_tpu.ops.heatmap import (
@@ -331,7 +374,7 @@ def make_pipeline_train_step(
 
     pipe_loss = make_pipeline_loss_fn(model, mesh, loss_fn,
                                       num_microbatches, pipe_axis,
-                                      train=True)
+                                      train=True, carry_stats=True)
     other = [a for a in mesh.axis_names if a != pipe_axis]
     data_axis = other[0] if other else None
     geo_backend = ("matmul2pass" if jax.default_backend() == "tpu"
@@ -359,9 +402,10 @@ def make_pipeline_train_step(
             s = {"params": sp, "batch_stats": state.stacked["batch_stats"]}
             return pipe_loss(f, s, images, targets)
 
-        (total, per_stack), grads = jax.value_and_grad(
-            loss_on_params, argnums=(0, 1), has_aux=True)(
-                state.front["params"], state.stacked["params"])
+        (total, (per_stack, front_stats, stacked_stats)), grads = \
+            jax.value_and_grad(
+                loss_on_params, argnums=(0, 1), has_aux=True)(
+                    state.front["params"], state.stacked["params"])
         updates, new_opt = tx.update(
             grads, state.opt_state,
             (state.front["params"], state.stacked["params"]))
@@ -369,10 +413,8 @@ def make_pipeline_train_step(
             (state.front["params"], state.stacked["params"]), updates)
         new_state = state.replace(
             step=state.step + 1,
-            front={"params": new_fp,
-                   "batch_stats": state.front["batch_stats"]},
-            stacked={"params": new_sp,
-                     "batch_stats": state.stacked["batch_stats"]},
+            front={"params": new_fp, "batch_stats": front_stats},
+            stacked={"params": new_sp, "batch_stats": stacked_stats},
             opt_state=new_opt,
             rng=next_rng,
         )
@@ -423,6 +465,7 @@ def make_pipeline_loss_fn(
     num_microbatches: int,
     pipe_axis: str = "pipe",
     train: bool = True,
+    carry_stats: bool = False,
 ):
     """Differentiable pipelined loss: fn(front_vars, stacked_vars, images,
     targets) -> (total_loss, per_stack_losses).
@@ -431,19 +474,77 @@ def make_pipeline_loss_fn(
     — identical to the sequential intermediate-supervision objective
     (losses.per_stack_losses summed, reference trainer.py:35), so
     `jax.grad` of this is a drop-in pipeline-parallel training gradient.
+
+    carry_stats=True (train only) returns (total, (per_stack,
+    new_front_batch_stats, new_stacked_batch_stats)) — the BatchNorm
+    running statistics after this step: the front updates once with the
+    full batch's moments (exactly the sequential trainer's semantics), the
+    stacked stages update once per microbatch inside the GPipe scan
+    (standard pipeline-parallel BN semantics: as if training at the
+    microbatch size). With a data axis the stages see per-replica
+    microbatch shards (ghost BN) and the carried stats pmean the
+    per-replica moments — exact equality with the sequential (sync-BN
+    under GSPMD) trainer holds on a pipe-only mesh with one microbatch
+    (pinned in tests/test_pipeline.py). This is what lets a pipelined
+    train -> eval round trip use trained statistics instead of silently
+    keeping init-time ones.
     """
     front, stage = _stage_modules(model)
     engine = _pipeline_engine(stage, mesh, pipe_axis, train,
-                              loss_fn=loss_fn)
+                              loss_fn=loss_fn, carry_stats=carry_stats)
+    front_run = front.clone(bn_momentum=0.0) if carry_stats else front
+    mom = float(model.bn_momentum)
 
     def pipelined_loss(front_vars, stacked_vars, images, targets):
         if train:
-            x0, _ = front.apply(front_vars, images, True,
-                                mutable=["batch_stats"])
+            x0, mut = front_run.apply(front_vars, images, True,
+                                      mutable=["batch_stats"])
         else:
             x0 = front.apply(front_vars, images, False)
         x0_mb = _microbatch(x0, num_microbatches)
         tgt_mb = _microbatch(targets.astype(jnp.float32), num_microbatches)
-        return engine(stacked_vars, x0_mb, tgt_mb)
+        if not carry_stats:
+            return engine(stacked_vars, x0_mb, tgt_mb)
+        total, per_stack, stacked_stats = engine(stacked_vars, x0_mb, tgt_mb)
+        front_stats = jax.tree.map(
+            lambda s, mo: mom * s + (1.0 - mom) * jax.lax.stop_gradient(mo),
+            front_vars["batch_stats"], mut["batch_stats"])
+        return total, (per_stack, front_stats, stacked_stats)
 
     return pipelined_loss
+
+
+def recalibrate_pipeline_batch_stats(model: StackedHourglass,
+                                     state: PipelineTrainState, batches,
+                                     momentum: float = 0.0
+                                     ) -> PipelineTrainState:
+    """BN-recalibrate a pipelined train state (the pipeline analog of
+    training.steps.recalibrate_batch_stats): merge front/stacked back to
+    full-model variables, refresh the running statistics by forwarding
+    `batches` in train mode (momentum=0 adopts each batch's moments
+    outright), and split the result back into pipeline layout. Params and
+    optimizer state are untouched."""
+    variables = merge_pipeline_variables(state.front, state.stacked,
+                                         model.num_stacks)
+    recal_model = model.clone(bn_momentum=momentum)
+
+    @jax.jit
+    def one(stats, images):
+        _, mut = recal_model.apply(
+            {"params": variables["params"], "batch_stats": stats},
+            images, train=True, mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    stats = variables["batch_stats"]
+    for batch in batches:
+        images = batch["image"] if isinstance(batch, dict) else batch
+        stats = one(stats, images)
+    front, stacked = split_pipeline_variables(
+        {"params": variables["params"], "batch_stats": stats},
+        model.num_stacks)
+    return state.replace(
+        front={"params": state.front["params"],
+               "batch_stats": front["batch_stats"]},
+        stacked={"params": state.stacked["params"],
+                 "batch_stats": stacked["batch_stats"]},
+    )

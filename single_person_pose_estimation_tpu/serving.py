@@ -96,7 +96,10 @@ class PoseServer:
         self._max_wait_s = max_wait_s
         self._interpret = interpret
         if use_fused == "auto":
-            use_fused = jax.default_backend() == "tpu"
+            # bf16/f16 only — at f32 the fused kernels exceed the scoped
+            # VMEM limit at the 64px level (scripts/validate_fused_tpu.py).
+            use_fused = (jax.default_backend() == "tpu"
+                         and jnp.dtype(model.compute_dtype).itemsize == 2)
         self._use_fused = bool(use_fused)
         self._mesh = mesh
         if transfer_dtype not in ("uint8", "bfloat16", "float32"):
