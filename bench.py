@@ -104,6 +104,102 @@ def bench_train_step(batch=64, iters=12):
     return batch * iters / (time.perf_counter() - t0)
 
 
+def _ensure_bench_records(root, n_shards=8, per_shard=256, size=400):
+    """Synthetic person-crop record shards for the from-records bench
+    (no COCO data in this environment): JPEG-encoded 400x400 crops with
+    photo-like low-frequency content plus texture noise, so the host-side
+    decode+resize cost is realistic. Cached in /tmp across runs."""
+    import os
+
+    import numpy as np
+
+    from single_person_pose_estimation_tpu.data import example_codec
+    from single_person_pose_estimation_tpu.data.images import encode_jpeg
+    from single_person_pose_estimation_tpu.data.tfrecord import TFRecordWriter
+
+    marker = os.path.join(root, f"done_{n_shards}x{per_shard}_{size}")
+    if os.path.exists(marker):
+        return
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+
+    def write_shard(path, n):
+        with TFRecordWriter(path) as w:
+            for _ in range(n):
+                ph = rng.uniform(0, 6.28, (3, 4))
+                img = np.stack([
+                    127 + 80 * np.sin(3 * xx + ph[c, 0])
+                    * np.cos(2 * yy + ph[c, 1]) for c in range(3)], -1)
+                img += rng.normal(0, 12, img.shape)
+                img = np.clip(img, 0, 255).astype(np.uint8)
+                feats = {
+                    "image": [encode_jpeg(img)],
+                    "width": [float(size)], "height": [float(size)],
+                    "keypoints/x": list(rng.uniform(0, size, 17)),
+                    "keypoints/y": list(rng.uniform(0, size, 17)),
+                    "keypoints/vis": [2] * 17,
+                }
+                w.write(example_codec.encode_example(feats))
+
+    for split, count in (("train", per_shard), ("valid", 8)):
+        rec_dir = os.path.join(root, "tfrecords", split)
+        os.makedirs(rec_dir, exist_ok=True)
+        shards = n_shards if split == "train" else 1
+        for s in range(shards):
+            # filename suffix = example count in the shard (the reference's
+            # file_{split}_%02i-%i.tfrec convention that num_*_examples
+            # accounting parses).
+            write_shard(os.path.join(
+                rec_dir, f"file_{split}_{s:02d}-{count}.tfrec"), count)
+    open(marker, "w").close()
+
+
+def bench_train_from_records(batch=64, iters=25, wire="float32"):
+    """End-to-end training throughput FROM RECORD SHARDS (VERDICT r2 Next
+    #3): native reader -> JPEG decode -> resize on the host prefetch
+    thread, host->device transfer, full fused train step. Returns
+    (host_only_images_per_sec, end_to_end_images_per_sec)."""
+    from single_person_pose_estimation_tpu import losses
+    from single_person_pose_estimation_tpu.configs.default_config import Config
+    from single_person_pose_estimation_tpu.data.pipeline import DatasetBuilder
+    from single_person_pose_estimation_tpu.models.hourglass import (
+        StackedHourglass,
+    )
+    from single_person_pose_estimation_tpu.training import steps
+
+    root = "/tmp/spe_bench_records"
+    _ensure_bench_records(root)
+    cfg = Config().replace(dataset_dir=root, batch_size=batch,
+                           train_transfer_dtype=wire)
+    builder = DatasetBuilder(cfg)
+
+    # Host pipeline alone (read + decode + resize + stack, prefetch thread).
+    it, _ = builder.build_datasets()
+    next(it)  # spin up
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        next(it)
+    host_rate = batch * iters / (time.perf_counter() - t0)
+    it.close()
+
+    model = StackedHourglass(num_stacks=4, num_channels=256,
+                             compute_dtype=jnp.bfloat16)
+    tx = steps.make_optimizer(1e-3)
+    state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0))
+    train_step = steps.make_train_step(model, tx, losses.iou, cfg,
+                                       augment=True)
+    it, _ = builder.build_datasets()
+    state, m = train_step(state, next(it))  # compile
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = train_step(state, next(it))
+    float(m["loss"])  # drain
+    e2e_rate = batch * iters / (time.perf_counter() - t0)
+    it.close()
+    return host_rate, e2e_rate
+
+
 def main():
     import os
 
@@ -124,6 +220,10 @@ def main():
     if os.environ.get("BENCH_TRAIN") != "0":
         result["train_images_per_sec_b64"] = round(bench_train_step(64), 1)
         result["train_images_per_sec_b128"] = round(bench_train_step(128), 1)
+    if os.environ.get("BENCH_RECORDS") != "0":
+        host, e2e = bench_train_from_records(wire="uint8")
+        result["host_pipeline_images_per_sec"] = round(host, 1)
+        result["train_from_records_images_per_sec"] = round(e2e, 1)
     print(json.dumps(result))
 
 

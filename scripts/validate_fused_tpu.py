@@ -118,24 +118,29 @@ def per_kernel_section(variables, quick):
             check(f"A bottleneck {lvl} {h}x{h} B={b}", got, want, KERNEL_TOL)
 
     # Pool-fused bottlenecks (the <=32px levels on the default path).
+    # rows=2048: halved batch-blocking — at f32 the bf16-tuned blocking
+    # exceeds the kernel's 24 MB VMEM cap (same code, smaller grid step).
     for lvl, h in (("f2", 32), ("f4", 16), ("f8", 8)):
         name = f"hg0_downsample_{lvl}"
         x = rand((B, h, h, C))
         got, pooled = jit32(lambda x, n=name: fi._bottleneck_pool_fused(
-            params, stats, x, n, interpret=False))(x)
+            params, stats, x, n, interpret=False, rows=2048))(x)
         want = jit32(lambda x, n=name: fi._bottleneck_xla(
             params, stats, x, n, C))(x)
         check(f"A bottleneck+pool {lvl} out", got, want, KERNEL_TOL)
         check(f"A bottleneck+pool {lvl} pooled", pooled,
               jit32(fi._maxpool)(jnp.asarray(want)), KERNEL_TOL)
 
-    # Conv-skip bottleneck (front_bottleneck_3: 128 -> 256 channels, 64px).
-    x = rand((B, 64, 64, 128))
+    # Conv-skip bottleneck (front_bottleneck_3: 128 -> 256 channels).
+    # 32px map: at f32 the 64px product shape is 656 KB over the kernel's
+    # 24 MB VMEM cap even at one image per step (bf16 fits); same kernel
+    # code, and the off-path fuse_front dial is bf16-gated anyway.
+    x = rand((B, 32, 32, 128))
     got = jit32(lambda x: fi._bottleneck_front_fused(
-        params, stats, x, "front_bottleneck_3", C, False))(x)
+        params, stats, x, "front_bottleneck_3", C, False, rows=1024))(x)
     want = jit32(lambda x: fi._bottleneck_xla(
         params, stats, x, "front_bottleneck_3", C))(x)
-    check("A conv-skip bottleneck front_3 64x64", got, want, KERNEL_TOL)
+    check("A conv-skip bottleneck front_3 32x32", got, want, KERNEL_TOL)
 
     # Uplevel kernel (short bottleneck + upsample-add + merged bottleneck)
     # at each decoder level.
@@ -150,7 +155,7 @@ def per_kernel_section(variables, quick):
         mp = fi._bneck_params(params, stats, f"hg0_upsample_{lvl}_merged")
         got = jit32(lambda f, u: fused_uplevel(
             f, u, sp, mp, interpret=False,
-            nimg=pick_nimg(B, h, h, 4096)))(feat, u)
+            nimg=pick_nimg(B, h, h, 1024)))(feat, u)
 
         def want_fn(f, u, lvl=lvl):
             d = fi._bottleneck_xla(params, stats, f,
@@ -204,7 +209,9 @@ def per_kernel_section(variables, quick):
         want_hp, want_y = jit32(want_head)(u, y)
         check(f"A head hg{i} last={last} predict", got_hp, want_hp,
               KERNEL_TOL)
-        check(f"A head hg{i} last={last} next_y", got_y, want_y, KERNEL_TOL)
+        if not last:  # last=True returns y_next=None by design
+            check(f"A head hg{i} last={last} next_y", got_y, want_y,
+                  KERNEL_TOL)
 
 
 def main():
@@ -249,9 +256,11 @@ def main():
     apply32h = jax.jit(apply32h)
 
     def fused32(img, **kw):
+        # Halved batch-blocking at f32 (VMEM doubles vs the bf16 tuning);
+        # same kernels, same wiring, smaller grid steps.
         return jit32(lambda v, x: fused_apply(
-            v, x, num_stacks=S, compute_dtype=jnp.float32, **kw))(
-                variables, img)
+            v, x, num_stacks=S, compute_dtype=jnp.float32,
+            bneck_rows=2048, uplevel_rows=1024, **kw))(variables, img)
 
     t0 = time.time()
     ref32_128 = [np.asarray(o) for o in apply32(variables, img128)]
@@ -272,8 +281,10 @@ def main():
         ("DEFAULT(+fuse_heads)", default),
     ]
     if not args.quick:
+        # fuse_front stays bf16-only (the conv-skip kernel at 64px f32 is
+        # over its VMEM cap — see section A note); both off-path dials are
+        # checked at bf16 in section C.
         combos += [
-            ("default+fuse_front", dict(default, fuse_front=True)),
             ("default+fuse_bottom=3", dict(default, fuse_bottom=3)),
         ]
 
@@ -324,6 +335,16 @@ def main():
     for s in range(S):
         check(f"C bf16 B=1   DEFAULT stack{s}", got[s], ref16_1[s],
               BF16_TOL)
+    if not args.quick:
+        # Off-path dials at bf16 (their tuned precision): fuse_front,
+        # fuse_bottom, and the space-to-depth front fold.
+        for cname, ckw in (("fuse_front", dict(default, fuse_front=True)),
+                           ("fuse_bottom=3", dict(default, fuse_bottom=3)),
+                           ("front_s2d", dict(default, front_s2d=True))):
+            got = fused_apply(variables, img128, num_stacks=S,
+                              compute_dtype=jnp.bfloat16, **ckw)
+            check(f"C bf16 B=128 default+{cname} last-stack", got[-1],
+                  ref16_128[-1], BF16_TOL)
 
     # ---------------- D. eval wiring ----------------
     log("\n== D. eval wiring: make_predict_decode_fn fused vs flax (bf16) ==")

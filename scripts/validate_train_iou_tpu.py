@@ -1,0 +1,148 @@
+"""IoU-loss convergence on the REAL TPU, through the full Trainer stack.
+
+VERDICT r2 Missing #1 / Next #2: the published recipe's loss (reference
+loss.py:23-28; Train.ipynb cells 14-20 trained the OKS-0.574 model with
+it) had never been shown to converge in this framework — PERF.md only
+recorded that IoU overfits far slower than weighted_mse. This script runs
+the published-style recipe end to end on hardware:
+
+  1. writes a synthetic marker dataset as record shards on disk,
+  2. trains S4/256 (bf16) with a weighted_mse warmup via the real Trainer
+     (DatasetBuilder -> host prefetch -> jitted step -> Orbax checkpoints),
+  3. constructs a SECOND Trainer with loss='iou' and resume_training() —
+     the reference's resume recipe (trainer.py:73-178): full-state restore
+     (params + BN + Adam moments + PRNG) then the new loss/lr take over,
+  4. asserts the IoU loss falls through fine-tuning and the decoded
+     keypoints land sub-2-px (heatmap space) on the markers.
+
+Usage (real TPU): python scripts/validate_train_iou_tpu.py
+"""
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from single_person_pose_estimation_tpu.configs.default_config import Config
+from single_person_pose_estimation_tpu.data import example_codec
+from single_person_pose_estimation_tpu.data.images import encode_jpeg
+from single_person_pose_estimation_tpu.data.pipeline import DatasetBuilder
+from single_person_pose_estimation_tpu.data.tfrecord import TFRecordWriter
+from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
+from single_person_pose_estimation_tpu.ops.decode import decode_batch
+from single_person_pose_estimation_tpu.training import steps
+from single_person_pose_estimation_tpu.training.trainer import Trainer
+
+ROOT = "/tmp/spe_iou_validate"
+SIZE = 256
+N_TRAIN, N_VALID = 128, 16
+WARMUP_EPOCHS = 50      # x8 steps = 400 weighted_mse steps
+IOU_EPOCHS = 75         # x8 steps = 600 iou fine-tune steps
+
+
+def marker_example(rng, idx):
+    """A noise image with 17 distinct color markers; keypoints at marker
+    centers in crop-pixel space (the record format the ETL emits)."""
+    img = rng.uniform(0, 255, (SIZE, SIZE, 3)).astype(np.uint8)
+    kx = np.zeros(17, np.float32)
+    ky = np.zeros(17, np.float32)
+    jx, jy = int(idx % 8), int((idx // 8) % 8)
+    for k in range(17):
+        x = 32 + (k % 5) * 44 + jx
+        y = 32 + (k // 5) * 48 + jy
+        img[max(0, y - 5):y + 6, max(0, x - 5):x + 6] = [
+            255 * (k % 2), 255 * ((k // 2) % 2), (k * 15) % 255]
+        kx[k], ky[k] = x, y
+    feats = {
+        "image": [encode_jpeg(img)],
+        "width": [float(SIZE)], "height": [float(SIZE)],
+        "keypoints/x": [float(v) for v in kx],
+        "keypoints/y": [float(v) for v in ky],
+        "keypoints/vis": [2] * 17,
+    }
+    return feats, kx, ky
+
+
+def write_dataset():
+    shutil.rmtree(ROOT, ignore_errors=True)
+    rng = np.random.default_rng(0)
+    for split, n in (("train", N_TRAIN), ("valid", N_VALID)):
+        d = os.path.join(ROOT, "tfrecords", split)
+        os.makedirs(d, exist_ok=True)
+        with TFRecordWriter(
+                os.path.join(d, f"file_{split}_00-{n}.tfrec")) as w:
+            for i in range(n):
+                feats, _, _ = marker_example(rng, i)
+                w.write(example_codec.encode_example(feats))
+
+
+def main():
+    write_dataset()
+    cfg = Config().replace(
+        dataset_dir=ROOT, temporary_dir=os.path.join(ROOT, "temp"),
+        batch_size=16, checkpoint_every_epochs=25,
+        async_checkpointing=False, shuffle_buffer=64)
+    model = StackedHourglass(num_stacks=4, num_channels=256,
+                             compute_dtype=jnp.bfloat16)
+
+    # Phase 1: weighted_mse warmup (gets the sigma=1 Gaussians roughly in
+    # place; plain IoU-from-scratch needs the published 120-epoch budget —
+    # its gradients are near-zero until predictions overlap the targets).
+    t0 = time.time()
+    builder = DatasetBuilder(cfg)
+    tr = Trainer(model, builder, epochs=WARMUP_EPOCHS, learning_rate=5e-3,
+                 loss_str="weighted_mse", config=cfg, augment=False)
+    tr.train()
+    warmup_s = time.time() - t0
+    print(f"warmup done in {warmup_s:.0f}s", flush=True)
+
+    # Phase 2: IoU fine-tune via the Trainer's RESUME path (full-state
+    # restore from the warmup checkpoint, new loss + lr).
+    t0 = time.time()
+    tr2 = Trainer(model, DatasetBuilder(cfg), epochs=IOU_EPOCHS,
+                  learning_rate=1e-3, loss_str="iou", config=cfg,
+                  augment=False)
+    tr2.resume_training()
+    print(f"iou fine-tune done in {time.time() - t0:.0f}s", flush=True)
+
+    # The IoU loss must have FALLEN over the fine-tune session.
+    from single_person_pose_estimation_tpu.training import metrics as mlib
+    rows = mlib.read_all_session_logs(cfg.logs_path)
+    iou_rows = [r for r in rows if float(r.get("epoch", 0)) > WARMUP_EPOCHS]
+    first_iou = float(iou_rows[0]["loss"])
+    last_iou = float(iou_rows[-1]["loss"])
+    print(f"iou loss: epoch {WARMUP_EPOCHS + 1} = {first_iou:.4f} -> "
+          f"epoch {WARMUP_EPOCHS + IOU_EPOCHS} = {last_iou:.4f}", flush=True)
+
+    # Decode accuracy on a training batch with recalibrated BN stats.
+    state = tr2.state
+    it, _ = DatasetBuilder(cfg).build_datasets()
+    batch = next(it)
+    it.close()
+    state = steps.recalibrate_batch_stats(model, state,
+                                          [{"image": batch["image"]}])
+    hms = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats},
+                      batch["image"][:8], train=False)[-1]
+    dec = np.asarray(decode_batch(hms))
+    kx = np.asarray(batch["kx"][:8])
+    ky = np.asarray(batch["ky"][:8])
+    err = np.hypot(dec[..., 0] - kx, dec[..., 1] - ky)
+    print(f"decode err px(64-space): mean {err.mean():.2f} "
+          f"max {err.max():.2f}", flush=True)
+    ok = last_iou < first_iou * 0.8 and err.mean() < 2.0
+    print("VALIDATE_TRAIN_IOU_TPU:", "PASS" if ok else "FAIL", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -95,6 +95,15 @@ class Config:
     # --- TPU-native additions (not in reference) ---
     compute_dtype: str = "bfloat16"   # forward/backward compute precision
     param_dtype: str = "float32"      # parameter storage precision
+    # Host->device image wire for training batches: "float32" (reference
+    # numerics) or "uint8" (quantize the resized crop on the host, /255 on
+    # device — 4x less transfer; <=0.5/255 per-pixel quantization, the same
+    # trade serving.PoseServer makes on its wire).
+    train_transfer_dtype: str = "float32"
+    # Host-side decode workers (JPEG decode + resize release the GIL, so
+    # threads scale across cores). 0 = auto: min(4, cpu_count - 1), serial
+    # on a single-core host.
+    host_workers: int = 0
     seed: int = 0
     mesh_shape: Tuple[int, ...] = (-1,)        # -1: all available devices
     mesh_axis_names: Tuple[str, ...] = ("data",)

@@ -27,7 +27,11 @@ import numpy as np
 
 from single_person_pose_estimation_tpu.configs.default_config import Config
 from single_person_pose_estimation_tpu.data import example_codec, tfrecord
-from single_person_pose_estimation_tpu.data.images import decode_jpeg, resize_bilinear
+from single_person_pose_estimation_tpu.data.images import (
+    decode_jpeg,
+    resize_bilinear,
+    resize_bilinear_u8,
+)
 
 
 def _parse_example(record: bytes, config: Config, training: bool
@@ -44,7 +48,18 @@ def _parse_example(record: bytes, config: Config, training: bool
     img = decode_jpeg(ex["image"][0])
     width = float(ex["width"][0])
     height = float(ex["height"][0])
-    img = resize_bilinear(img, (config.image_height, config.image_width)) / 255.0
+    if getattr(config, "train_transfer_dtype", "float32") == "uint8" \
+            and training:
+        # uint8 wire: resize in uint8 (SIMD fixed-point) and ship the crop
+        # quantized; the train step normalizes on device (training/
+        # steps.py). 4x less host->device traffic and ~2x less host CPU
+        # than decode->f32-resize->/255 (PERF.md breakdown).
+        img = resize_bilinear_u8(
+            img, (config.image_height, config.image_width))
+    else:
+        img = resize_bilinear(
+            img, (config.image_height, config.image_width))
+        img = (img / 255.0).astype(np.float32)
 
     def fixed(vals, dtype):
         arr = np.zeros((K,), dtype=dtype)
@@ -56,7 +71,7 @@ def _parse_example(record: bytes, config: Config, training: bool
     kv = fixed(ex.get("keypoints/vis", []), np.int64).astype(np.int32)
     kx = kx / width * config.label_width
     ky = ky / height * config.label_height
-    return {"image": img.astype(np.float32), "kx": kx, "ky": ky, "kv": kv}
+    return {"image": img, "kx": kx, "ky": ky, "kv": kv}
 
 
 def _parse_prediction_example(record: bytes, config: Config):
@@ -91,6 +106,20 @@ def _parse_prediction_example(record: bytes, config: Config):
 
 def _stack_batch(examples: Sequence[Dict[str, np.ndarray]]):
     return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+
+
+def _pipelined_map(fn, it: Iterator, pool, depth: int):
+    """Ordered parallel map with a bounded in-flight window (decode/resize
+    release the GIL, so a thread pool scales across host cores)."""
+    from collections import deque
+
+    q = deque()
+    for item in it:
+        q.append(pool.submit(fn, item))
+        if len(q) >= depth:
+            yield q.popleft().result()
+    while q:
+        yield q.popleft().result()
 
 
 class _Prefetcher:
@@ -217,6 +246,13 @@ class DatasetBuilder:
 
     def _batches(self, filenames, shuffle, repeat, training):
         cfg = self.config
+        workers = getattr(cfg, "host_workers", 0) or max(
+            1, min(4, (os.cpu_count() or 1) - 1))
+        pool = None
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(workers,
+                                      thread_name_prefix="spe-decode")
 
         def gen():
             # Batch *within* an epoch then repeat — matching the reference's
@@ -224,9 +260,17 @@ class DatasetBuilder:
             # the final batch of each epoch is partial rather than wrapping.
             while True:
                 batch: List[Dict[str, np.ndarray]] = []
-                for rec in self._record_stream(filenames, shuffle,
-                                               repeat=False):
-                    batch.append(_parse_example(rec, cfg, training))
+                stream = self._record_stream(filenames, shuffle,
+                                             repeat=False)
+                if pool is None:
+                    examples = (_parse_example(r, cfg, training)
+                                for r in stream)
+                else:
+                    examples = _pipelined_map(
+                        lambda r: _parse_example(r, cfg, training),
+                        stream, pool, depth=2 * workers)
+                for ex in examples:
+                    batch.append(ex)
                     if len(batch) == cfg.batch_size:
                         yield _stack_batch(batch)
                         batch = []

@@ -180,7 +180,7 @@ def _upsample2x(x):
                                    "fuse_levels", "bneck_rows",
                                    "uplevel_rows", "pool_fuse_max_h",
                                    "fuse_heads", "fuse_bottom",
-                                   "fuse_front"))
+                                   "fuse_front", "front_s2d"))
 def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 compute_dtype=jnp.bfloat16,
                 interpret: bool = False,
@@ -190,7 +190,8 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 pool_fuse_max_h: int = 0,
                 fuse_heads: bool = False,
                 fuse_bottom: int = 0,
-                fuse_front: bool = False) -> List[jnp.ndarray]:
+                fuse_front: bool = False,
+                front_s2d: bool = False) -> List[jnp.ndarray]:
     """Drop-in for `model.apply(variables, images, train=False)` on the
     non-mobile hourglass, with Pallas-fused hourglass bottlenecks.
 
@@ -203,7 +204,16 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
     x = images.astype(compute_dtype)
 
     # Front module (XLA): 7x7/s2 conv -> relu -> BN, three bottlenecks.
-    y = jnp.maximum(_conv(params, x, "front_conv_1x1_1", stride=2), 0)
+    # front_s2d computes the opening conv as the folded 4x4/s1 conv over
+    # the space-to-depth input (ops/space_to_depth.py) — exactly equal.
+    if front_s2d:
+        from single_person_pose_estimation_tpu.ops.space_to_depth import (
+            front_conv_s2d,
+        )
+        p0 = params["front_conv_1x1_1"]
+        y = jnp.maximum(front_conv_s2d(x, p0["kernel"], p0["bias"]), 0)
+    else:
+        y = jnp.maximum(_conv(params, x, "front_conv_1x1_1", stride=2), 0)
     y = _bn(params, stats, y, "front_conv_1x1_1_bn")
     c = params["front_bottleneck_3_conv_1x1_3"]["kernel"].shape[-1]
     # front_bottleneck_1 runs at the half-res level (128px for 256px

@@ -45,6 +45,29 @@ _BN_MOMENTUM = 0.99
 _KERNEL_INIT = nn.initializers.glorot_uniform()
 
 
+class _S2DFrontConv(nn.Module):
+    """Parameter-compatible drop-in for the front nn.Conv(7x7, s2, SAME):
+    same param names ("kernel"/"bias"), shapes, and init, but computed as
+    the folded 4x4/s1 conv over the space-to-depth input
+    (ops/space_to_depth.py). Exact same function; MXU-friendlier layout."""
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from single_person_pose_estimation_tpu.ops.space_to_depth import (
+            front_conv_s2d,
+        )
+
+        kernel = self.param("kernel", _KERNEL_INIT,
+                            (7, 7, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        return front_conv_s2d(x, kernel, bias)
+
+
 class SeparableConv(nn.Module):
     """Keras SeparableConv2D equivalent: depthwise k x k then pointwise 1x1.
 
@@ -110,6 +133,12 @@ class StackedHourglass(nn.Module):
     #                remat policy.
     remat: Any = False
     bn_momentum: float = _BN_MOMENTUM  # Keras default; 0.0 = adopt batch stats
+    # Space-to-depth front: compute the 7x7/s2 opening conv as the exactly
+    # equivalent 4x4/s1 conv over the 2x2-blocked 12-channel input
+    # (ops/space_to_depth.py — a 3-deep reduction underfills the MXU).
+    # Same stored (7, 7, 3, 64) parameter, so checkpoints/weight imports
+    # are interchangeable between the two settings.
+    front_s2d: bool = False
 
     # ------------------------------------------------------------------
     def _activate(self, y, activation):
@@ -223,9 +252,13 @@ class StackedHourglass(nn.Module):
         conv; it is a plain Conv2D even in mobile mode (only bottleneck
         convs are swapped for separable convs — hourglass.py:9-11)."""
         c = self.num_channels
-        y = nn.Conv(features=64, kernel_size=(7, 7), strides=(2, 2),
-                    padding="SAME", kernel_init=_KERNEL_INIT,
-                    dtype=self.compute_dtype, name="front_conv_1x1_1")(x)
+        if self.front_s2d:
+            y = _S2DFrontConv(dtype=self.compute_dtype,
+                              name="front_conv_1x1_1")(x)
+        else:
+            y = nn.Conv(features=64, kernel_size=(7, 7), strides=(2, 2),
+                        padding="SAME", kernel_init=_KERNEL_INIT,
+                        dtype=self.compute_dtype, name="front_conv_1x1_1")(x)
         y = checkpoint_name(y, "conv_out")
         y = nn.relu(y)
         y = self._bn(y, train, "front_conv_1x1_1_bn")

@@ -142,6 +142,10 @@ def make_train_step(
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, next_rng = jax.random.split(state.rng)
         images = batch["image"]
+        if images.dtype == jnp.uint8:
+            # uint8 wire (config.train_transfer_dtype): 4x less host->device
+            # traffic; normalize on device instead of on the host.
+            images = images.astype(jnp.float32) / 255.0
         kx, ky, kv = batch["kx"], batch["ky"], batch["kv"]
         if augment:
             images, kx, ky, kv = augment_batch(

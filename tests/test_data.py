@@ -176,3 +176,39 @@ def test_etl_keypoint_filtering(mini_cfg):
     np.testing.assert_allclose(np.asarray(feats["keypoints/y"]),
                                np.asarray(gy), rtol=1e-5)
     assert feats["keypoints/vis"] == np.asarray(gv).tolist()
+
+
+def test_uint8_wire_parse(mini_cfg):
+    """train_transfer_dtype="uint8": parse returns quantized uint8 within
+    1 LSB of the f32 path; prediction/eval parsing stays f32."""
+    coco.gen_trainval_records(mini_cfg)
+    builder = pipeline.DatasetBuilder(mini_cfg)
+    recs = list(tfrecord.iter_records(builder.train_filenames[0]))
+    cfg8 = mini_cfg.replace(train_transfer_dtype="uint8")
+    a = pipeline._parse_example(recs[0], mini_cfg, training=True)
+    b = pipeline._parse_example(recs[0], cfg8, training=True)
+    assert a["image"].dtype == np.float32
+    assert b["image"].dtype == np.uint8
+    np.testing.assert_allclose(b["image"].astype(np.float32) / 255.0,
+                               a["image"], atol=1.01 / 255.0)
+    np.testing.assert_array_equal(a["kx"], b["kx"])
+    # eval parsing is unaffected by the train wire setting
+    c = pipeline._parse_example(recs[0], cfg8, training=False)
+    assert c["image"].dtype == np.float32
+
+
+def test_host_workers_parallel_map_is_ordered(mini_cfg):
+    """host_workers>1 must produce byte-identical batches in the same
+    order as the serial path (ordered bounded-window map)."""
+    coco.gen_trainval_records(mini_cfg)
+    cfg1 = mini_cfg.replace(host_workers=1, shuffle_buffer=0)
+    cfg4 = mini_cfg.replace(host_workers=4, shuffle_buffer=0)
+    b1 = pipeline.DatasetBuilder(cfg1)
+    b4 = pipeline.DatasetBuilder(cfg4)
+    it1 = b1._batches(b1.train_filenames, shuffle=False, repeat=False,
+                      training=True)
+    it4 = b4._batches(b4.train_filenames, shuffle=False, repeat=False,
+                      training=True)
+    for x1, x4 in zip(it1, it4):
+        for k in x1:
+            np.testing.assert_array_equal(x1[k], x4[k])

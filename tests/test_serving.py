@@ -154,3 +154,31 @@ def test_mesh_sharded_server():
         np.testing.assert_allclose(got, want, atol=1e-5)
     finally:
         server.close()
+
+
+def test_mesh_server_rounds_buckets_and_pads():
+    """Buckets indivisible by the data-axis size are rounded up at
+    construction (ADVICE r2: (1, 4, 16, 64) over 8 devices would crash at
+    warmup otherwise), and a partial batch pads+shards correctly."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    model = StackedHourglass(num_stacks=1, num_channels=16)
+    variables = model.init(jax.random.PRNGKey(9),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    server = PoseServer(model, variables["params"],
+                        variables["batch_stats"], buckets=(1, 4, 16, 64),
+                        max_wait_s=0.02, use_fused=False,
+                        transfer_dtype="float32", mesh=mesh)
+    try:
+        assert server._buckets == (8, 16, 64)
+        server.warmup(image_shape=(64, 64, 3))
+        imgs = np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(10), (3, 64, 64, 3)))
+        got = server.predict(imgs)  # 3 requests -> bucket 8, sharded
+        want = _direct(model, variables, imgs)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    finally:
+        server.close()
