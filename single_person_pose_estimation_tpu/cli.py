@@ -45,6 +45,13 @@ def _build_model(cfg: Config):
     from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
     import jax.numpy as jnp
 
+    import jax
+
+    if cfg.front_s2d not in ("auto", "on", "off"):
+        raise ValueError(f"front_s2d must be auto/on/off: {cfg.front_s2d!r}")
+    front_s2d = (cfg.front_s2d == "on"
+                 or (cfg.front_s2d == "auto"
+                     and jax.default_backend() == "tpu"))
     return StackedHourglass(
         num_classes=cfg.num_keypoints,
         num_stacks=cfg.hg_num_stacks,
@@ -53,6 +60,7 @@ def _build_model(cfg: Config):
         mobile=cfg.mobile,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32,
+        front_s2d=front_s2d,
     )
 
 

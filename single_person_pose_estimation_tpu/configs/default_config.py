@@ -104,6 +104,13 @@ class Config:
     # threads scale across cores). 0 = auto: min(4, cpu_count - 1), serial
     # on a single-core host.
     host_workers: int = 0
+    # Space-to-depth front fold (ops/space_to_depth.py): compute the 7x7/s2
+    # opening conv as the exactly-equal folded 4x4/s1 conv over the
+    # 2x2-blocked input — a 3-deep reduction underfills the MXU's 128-deep
+    # systolic dimension. Same stored parameter; checkpoints interchange.
+    # "auto" = on for TPU (measured +3.3% train step, +0.9% fused
+    # inference on v5e), off elsewhere; "on"/"off" force it.
+    front_s2d: str = "auto"
     seed: int = 0
     mesh_shape: Tuple[int, ...] = (-1,)        # -1: all available devices
     mesh_axis_names: Tuple[str, ...] = ("data",)

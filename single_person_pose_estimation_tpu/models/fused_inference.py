@@ -180,7 +180,8 @@ def _upsample2x(x):
                                    "fuse_levels", "bneck_rows",
                                    "uplevel_rows", "pool_fuse_max_h",
                                    "fuse_heads", "fuse_bottom",
-                                   "fuse_front", "front_s2d"))
+                                   "fuse_front", "front_s2d",
+                                   "fuse_max_h"))
 def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 compute_dtype=jnp.bfloat16,
                 interpret: bool = False,
@@ -191,14 +192,20 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 fuse_heads: bool = False,
                 fuse_bottom: int = 0,
                 fuse_front: bool = False,
-                front_s2d: bool = False) -> List[jnp.ndarray]:
+                front_s2d: bool = False,
+                fuse_max_h: int = 64) -> List[jnp.ndarray]:
     """Drop-in for `model.apply(variables, images, train=False)` on the
     non-mobile hourglass, with Pallas-fused hourglass bottlenecks.
 
     bneck_rows / uplevel_rows: batch-blocking targets (spatial rows per
     grid step) for the two kernels — see ops.pallas.bottleneck_kernel
     .pick_nimg. pool_fuse_max_h: fuse the downsample maxpool into the
-    producing bottleneck kernel for levels with H <= this (0 = never)."""
+    producing bottleneck kernel for levels with H <= this (0 = never).
+    fuse_max_h: levels with H above this stay on XLA — the bottleneck and
+    uplevel kernels block per whole image, and beyond 64 rows a single
+    128x128x256 bf16 map (8 MB) plus its padded copy and mid buffers
+    exceeds the Mosaic VMEM budget (hit at 512^2 inputs, where the f1
+    level doubles to 128 rows; the row-blocked head kernel is unaffected)."""
     params = variables["params"]
     stats = variables["batch_stats"]
     x = images.astype(compute_dtype)
@@ -230,11 +237,17 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
         y = _bottleneck_xla(params, stats, y, "front_bottleneck_2", c // 2)
         y = _bottleneck_xla(params, stats, y, "front_bottleneck_3", c)
 
-    bneck = partial(_bottleneck_fused, params, stats, interpret=interpret,
-                    rows=bneck_rows)
+    def bneck(x, name):
+        if x.shape[1] > fuse_max_h:
+            return _bottleneck_xla(params, stats, x, name, c)
+        return _bottleneck_fused(params, stats, x, name,
+                                 interpret=interpret, rows=bneck_rows)
 
     def down(x, name):
         """Downsample bottleneck: returns (level_output, pooled)."""
+        if x.shape[1] > fuse_max_h:
+            out = _bottleneck_xla(params, stats, x, name, c)
+            return out, _maxpool(out)
         if x.shape[1] <= pool_fuse_max_h:
             return _bottleneck_pool_fused(params, stats, x, name,
                                           interpret=interpret,
@@ -270,7 +283,7 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
             b = bneck(x=b, name=name + "_downsample_f8_3")
             u = b
         for feat, lvl in reversed(skips):
-            if fuse_levels:
+            if fuse_levels and feat.shape[1] <= fuse_max_h:
                 u = fused_uplevel(
                     feat, u,
                     _bneck_params(params, stats,

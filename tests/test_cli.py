@@ -105,3 +105,22 @@ def test_serve_end_to_end(tmp_path):
         arr = np.asarray(kps)
         assert arr.shape == (17, 3)
         assert np.isfinite(arr).all()
+
+
+def test_build_model_front_s2d_dial():
+    """Config.front_s2d: auto = TPU-only (off on the CPU test backend),
+    on/off force the flag, anything else is rejected."""
+    import pytest
+
+    from single_person_pose_estimation_tpu import cli
+    from single_person_pose_estimation_tpu.configs.default_config import (
+        Config,
+    )
+
+    assert cli._build_model(Config()).front_s2d is False  # auto, CPU
+    assert cli._build_model(
+        Config().replace(front_s2d="on")).front_s2d is True
+    assert cli._build_model(
+        Config().replace(front_s2d="off")).front_s2d is False
+    with pytest.raises(ValueError, match="front_s2d"):
+        cli._build_model(Config().replace(front_s2d="yes"))

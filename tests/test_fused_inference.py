@@ -239,3 +239,21 @@ def test_fuse_front_matches_flax():
                           fuse_front=True)
     for a, b in zip(want, got_all):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_apply_512_input_xla_fallback_above_fuse_max_h():
+    """512^2 inputs double the f1 level to 128 rows — above fuse_max_h the
+    bottleneck/uplevel kernels (whole-image VMEM blocks) must fall back to
+    XLA while the <=64px levels stay fused, and the result must still
+    equal the flax model (VERDICT r2 Next #5; measured VMEM blowup on
+    v5e without the guard)."""
+    model = StackedHourglass(num_stacks=1, num_channels=8,
+                             compute_dtype=jnp.float32)
+    v = randomized_variables(model, size=512)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1, 512, 512, 3))
+    want = model.apply(v, x, train=False)
+    got = fused_apply(v, x, num_stacks=1, compute_dtype=jnp.float32,
+                      interpret=True, fuse_levels=True, pool_fuse_max_h=32,
+                      fuse_heads=True)
+    np.testing.assert_allclose(np.asarray(want[0]), np.asarray(got[0]),
+                               atol=1e-4)
