@@ -31,7 +31,8 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
     (models/fused_inference.py, +30% measured: 3,093 vs 2,372 img/s
     incl. decode at B=128 on v5e). "auto" = on TPU for the non-mobile
     hourglass; the flax path is the fallback everywhere else."""
-    if use_fused == "auto":
+    auto = use_fused == "auto"
+    if auto:
         # 2-byte compute dtypes only: the fused kernels' VMEM blocking is
         # tuned for bf16 — at f32 the 64px level exceeds the 16 MB scoped
         # VMEM limit (measured on v5e; scripts/validate_fused_tpu.py).
@@ -42,7 +43,11 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
     @jax.jit
     def fn(params, batch_stats, images):
         variables = {"params": params, "batch_stats": batch_stats}
-        if use_fused:
+        # At 512^2 inputs the fused path measured -12% vs XLA (the extra
+        # 128px level stays on XLA above fuse_max_h and the fusable tail
+        # shrinks; scripts/sweep_fused_generalization.py) — auto falls
+        # back to the flax path there. Explicit use_fused=True overrides.
+        if use_fused and not (auto and images.shape[1] > 256):
             from single_person_pose_estimation_tpu.models.fused_inference import (
                 fused_apply,
             )

@@ -95,7 +95,8 @@ class PoseServer:
         self._bucket_set = frozenset(self._buckets)
         self._max_wait_s = max_wait_s
         self._interpret = interpret
-        if use_fused == "auto":
+        self._fused_auto = use_fused == "auto"
+        if self._fused_auto:
             # bf16/f16 only — at f32 the fused kernels exceed the scoped
             # VMEM limit at the 64px level (scripts/validate_fused_tpu.py).
             use_fused = (jax.default_backend() == "tpu"
@@ -129,7 +130,10 @@ class PoseServer:
     # ------------------------------------------------------------------
 
     def _forward(self, variables, images):
-        if self._use_fused:
+        # auto mode falls back to flax at >256px inputs: fused measured
+        # -12% at 512^2 (scripts/sweep_fused_generalization.py).
+        if self._use_fused and not (self._fused_auto
+                                    and images.shape[1] > 256):
             from single_person_pose_estimation_tpu.models.fused_inference import (
                 fused_apply,
             )
