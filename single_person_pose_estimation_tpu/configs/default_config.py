@@ -111,6 +111,13 @@ class Config:
     # "auto" = on for TPU (measured +3.3% train step, +0.9% fused
     # inference on v5e), off elsewhere; "on"/"off" force it.
     front_s2d: str = "auto"
+    # Pre-resize person crops to this square size at ETL time (0 = store
+    # the native crop resolution, the reference's gen_tfrecords behavior).
+    # Keypoints are stored scaled into the resized frame, so the training
+    # pipeline is unchanged — but the host then decodes record_size^2
+    # JPEGs instead of native-size crops, and the host input stage is the
+    # end-to-end train-loop bound on small hosts (PERF.md, from-records).
+    record_image_size: int = 0
     seed: int = 0
     mesh_shape: Tuple[int, ...] = (-1,)        # -1: all available devices
     mesh_axis_names: Tuple[str, ...] = ("data",)

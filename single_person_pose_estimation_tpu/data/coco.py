@@ -34,7 +34,11 @@ import numpy as np
 
 from single_person_pose_estimation_tpu.configs.default_config import Config
 from single_person_pose_estimation_tpu.data import example_codec, tfrecord
-from single_person_pose_estimation_tpu.data.images import encode_jpeg, read_image
+from single_person_pose_estimation_tpu.data.images import (
+    encode_jpeg,
+    read_image,
+    resize_bilinear_u8,
+)
 
 
 @dataclass
@@ -115,9 +119,15 @@ def crop_and_pad_np(image: np.ndarray, bbox) -> np.ndarray:
 
 
 def build_example_features(image: np.ndarray, ex: PersonExample,
-                           bbox_scale: float) -> Dict:
+                           bbox_scale: float,
+                           record_size: int = 0) -> Dict:
     """Produce the 14-feature dict for one person crop
-    (schema: gen_tfrecords.py:71-86)."""
+    (schema: gen_tfrecords.py:71-86).
+
+    record_size > 0 stores the crop pre-resized to that square size with
+    keypoints scaled into the resized frame (config.record_image_size) —
+    the stored width/height features describe the resized crop, so the
+    training pipeline's crop-space -> heatmap-space rescale is unchanged."""
     sq = transform_bbox_square_np(ex.bbox, bbox_scale)
     crop = crop_and_pad_np(image, sq)
 
@@ -139,6 +149,12 @@ def build_example_features(image: np.ndarray, ex: PersonExample,
             fy.append(0.0)
             fv.append(0)
     num_kps = sum(1 for v in fv if v > 0)
+
+    if record_size:
+        ch, cw = crop.shape[:2]
+        crop = resize_bilinear_u8(crop, (record_size, record_size))
+        fx = [x * record_size / cw for x in fx]
+        fy = [y * record_size / ch for y in fy]
 
     return {
         "ann_id": [ex.ann_id],
@@ -184,7 +200,9 @@ def generate_records(
         with tfrecord.TFRecordWriter(path) as w:
             for ex in chunk:
                 image = read_image(os.path.join(img_dir, ex.image_path))
-                feats = build_example_features(image, ex, config.bbox_scale)
+                feats = build_example_features(
+                    image, ex, config.bbox_scale,
+                    record_size=getattr(config, "record_image_size", 0))
                 w.write(example_codec.encode_example(feats))
                 done += 1
                 if progress_every and done % progress_every == 0:

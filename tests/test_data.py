@@ -212,3 +212,69 @@ def test_host_workers_parallel_map_is_ordered(mini_cfg):
     for x1, x4 in zip(it1, it4):
         for k in x1:
             np.testing.assert_array_equal(x1[k], x4[k])
+
+
+def test_record_image_size_preresizes_and_scales_keypoints(mini_cfg):
+    """record_image_size stores an SxS crop with keypoints scaled into the
+    resized frame; the pipeline's crop-space -> heatmap-space rescale is
+    unchanged, so decoded kx/ky match the native-resolution records."""
+    from single_person_pose_estimation_tpu.data.images import decode_jpeg
+
+    exs = coco.load_person_examples(mini_cfg.train_annot_file, 5)
+    ex = exs[0]
+    img = np.zeros((ex.height, ex.width, 3), np.uint8)
+    native = coco.build_example_features(img, ex, 1.25)
+    small = coco.build_example_features(img, ex, 1.25, record_size=128)
+
+    dec = decode_jpeg(small["image"][0])
+    assert dec.shape == (128, 128, 3)
+    assert small["width"] == [128] and small["height"] == [128]
+    # Keypoints scaled by 128 / native crop dims; zeros stay zero.
+    nw, nh = native["width"][0], native["height"][0]
+    for k in range(17):
+        np.testing.assert_allclose(small["keypoints/x"][k],
+                                   native["keypoints/x"][k] * 128 / nw,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(small["keypoints/y"][k],
+                                   native["keypoints/y"][k] * 128 / nh,
+                                   rtol=1e-6)
+    assert small["keypoints/vis"] == native["keypoints/vis"]
+
+
+def test_record_image_size_end_to_end_pipeline(mini_cfg, tmp_path):
+    """gen records with record_image_size=128 -> DatasetBuilder batches:
+    heatmap-space keypoints must match the native-records dataset exactly
+    (the rescale is exact); images agree to resize-interpolation error."""
+    cfg_small = mini_cfg.replace(record_image_size=128)
+    exs = coco.load_person_examples(mini_cfg.train_annot_file, 5)
+    coco.generate_records(exs, mini_cfg, is_train=True)
+    small_root = str(tmp_path / "small")
+    import shutil
+    os.makedirs(small_root)
+    shutil.copytree(os.path.join(mini_cfg.dataset_dir, "annotations"),
+                    os.path.join(small_root, "annotations"))
+    cfg_small = cfg_small.replace(dataset_dir=small_root)
+    os.makedirs(cfg_small.train_images_dir, exist_ok=True)
+    # reuse the same source images
+    shutil.rmtree(cfg_small.train_images_dir)
+    shutil.copytree(mini_cfg.train_images_dir, cfg_small.train_images_dir)
+    coco.generate_records(exs, cfg_small, is_train=True)
+
+    def first_batch(cfg):
+        b = pipeline.DatasetBuilder(cfg.replace(shuffle_buffer=0))
+        it, _ = b.build_datasets()
+        batch = next(it)
+        it.close()
+        return batch
+
+    a = first_batch(mini_cfg)
+    b = first_batch(cfg_small)
+    np.testing.assert_allclose(np.asarray(a["kx"]), np.asarray(b["kx"]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a["ky"]), np.asarray(b["ky"]),
+                               atol=1e-4)
+    assert np.asarray(a["kv"]).tolist() == np.asarray(b["kv"]).tolist()
+    # Images: native goes crop->256 in one resize, small goes
+    # crop->128->256; contents agree only loosely on noise images, but
+    # shapes and range must match.
+    assert np.asarray(b["image"]).shape == np.asarray(a["image"]).shape
