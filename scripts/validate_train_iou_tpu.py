@@ -115,9 +115,17 @@ def main():
     print(f"iou fine-tune done in {time.time() - t0:.0f}s", flush=True)
 
     # The IoU loss must have FALLEN over the fine-tune session.
-    from single_person_pose_estimation_tpu.training import metrics as mlib
-    rows = mlib.read_all_session_logs(cfg.logs_path)
-    iou_rows = [r for r in rows if float(r.get("epoch", 0)) > WARMUP_EPOCHS]
+    # Session CSVs mirror the reference's Keras CSVLogger layout (epoch
+    # column per-session 0-based and unnamed; filenames sort by the
+    # lexicographic glob the reference uses), so identify the IoU
+    # session's log as the newest file and read it directly.
+    import csv
+    import glob
+    newest = max(glob.glob(os.path.join(cfg.logs_path, "log_*.csv")),
+                 key=os.path.getmtime)
+    with open(newest, newline="") as f:
+        iou_rows = list(csv.DictReader(f))
+    assert len(iou_rows) == IOU_EPOCHS, (newest, len(iou_rows))
     first_iou = float(iou_rows[0]["loss"])
     last_iou = float(iou_rows[-1]["loss"])
     print(f"iou loss: epoch {WARMUP_EPOCHS + 1} = {first_iou:.4f} -> "
