@@ -205,7 +205,13 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
     uplevel kernels block per whole image, and beyond 64 rows a single
     128x128x256 bf16 map (8 MB) plus its padded copy and mid buffers
     exceeds the Mosaic VMEM budget (hit at 512^2 inputs, where the f1
-    level doubles to 128 rows; the row-blocked head kernel is unaffected)."""
+    level doubles to 128 rows; the row-blocked head kernel is unaffected).
+    The boundary is also MEASURED, not just a VMEM constraint: a
+    row-blocked kernel (ops.pallas.bottleneck_kernel.fused_bottleneck_rows)
+    loses to XLA by 11-16% at the 128px levels at every feasible strip
+    height (scripts/bench_rows_bneck_ab.py, PERF.md) — at large maps
+    XLA's native conv is near bandwidth and the 9-shifted-matmul trick
+    pays a VMEM copy per tap."""
     params = variables["params"]
     stats = variables["batch_stats"]
     x = images.astype(compute_dtype)

@@ -135,6 +135,113 @@ def bn_affine(scale, bias, mean, var, eps: float = 1e-3):
     return a, bias - mean * a
 
 
+def _bottleneck_rows_kernel(x_ref, top_ref, bot_ref,
+                            w1_ref, w2_ref, w3_ref, b_ref,
+                            a1_ref, c1_ref, a2_ref, c2_ref, a3_ref, c3_ref,
+                            out_ref, *, HB, W, Cin, Cmid):
+    """Row-blocked bottleneck: the block is HB rows of ONE image, plus the
+    two halo rows delivered as separate (pipelined) inputs. conv1 runs on
+    all HB+2 rows (2-row recompute overhead); the 3x3 consumes the halo;
+    conv3 + the identity skip produce the HB center rows."""
+    x = x_ref[0]                                     # (HB, W, Cin)
+    xh = jnp.concatenate([top_ref[0], x, bot_ref[0]], axis=0)
+    xf = xh.reshape((HB + 2) * W, Cin)
+
+    z1 = jnp.dot(xf, w1_ref[...],
+                 preferred_element_type=jnp.float32) + b_ref[0:1, :Cmid]
+    t1 = jnp.maximum(z1, 0.0) * a1_ref[...] + c1_ref[...]
+    t1 = t1.astype(x.dtype).reshape(HB + 2, W, Cmid)
+
+    # At the image border the reference 3x3 sees ZERO t1 rows, but a zero
+    # x-halo row yields t1 = relu(b1)*a1+c1 != 0 — zero those rows here.
+    h = pl.program_id(1)
+    top_w = (h > 0).astype(t1.dtype)
+    bot_w = (h < pl.num_programs(1) - 1).astype(t1.dtype)
+    t1 = jnp.concatenate(
+        [t1[0:1] * top_w, t1[1:HB + 1], t1[HB + 1:HB + 2] * bot_w], axis=0)
+
+    # 3x3 over the W-padded copy; rows need no pad — the halo provides them.
+    t1p = jnp.pad(t1, ((0, 0), (1, 1), (0, 0)))
+    acc = jnp.zeros((HB * W, Cmid), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            sl = t1p[dy:dy + HB, dx:dx + W, :].reshape(HB * W, Cmid)
+            acc = acc + jnp.dot(sl, w2_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+    t2 = jnp.maximum(acc + b_ref[1:2, :Cmid], 0.0) * a2_ref[...] + c2_ref[...]
+    t2 = t2.astype(x.dtype)
+
+    z3 = jnp.dot(t2, w3_ref[...],
+                 preferred_element_type=jnp.float32) + b_ref[2:3, :Cin]
+    t3 = jnp.maximum(z3, 0.0) * a3_ref[...] + c3_ref[...]
+    out = x.reshape(HB * W, Cin).astype(jnp.float32) + t3
+    out_ref[0] = out.astype(x.dtype).reshape(HB, W, Cin)
+
+
+@partial(jax.jit, static_argnames=("interpret", "hb"))
+def fused_bottleneck_rows(x, w1, b1, w2, b2, w3, b3,
+                          a1, c1, a2, c2, a3, c3, interpret: bool = False,
+                          hb: int = 32):
+    """Identity-skip bottleneck for levels whose whole map does NOT fit a
+    VMEM block (H > 64: the 128px front/f1 levels, 256px at 512^2 inputs).
+
+    Blocks each image into hb-row strips. The 3x3's one-row halos are
+    sliced out of x in XLA beforehand (one (B, H/hb, W, C) plane per
+    side, with zeros at the image border) and fed as their own pipelined
+    BlockSpec inputs, so the kernel has no conditionals and Mosaic keeps
+    its automatic double-buffering — the extra HBM read is 2/hb of x
+    instead of the 2x of reading neighbor blocks whole."""
+    B, H, W, Cin = x.shape
+    Cmid = w1.shape[1]
+    dt = x.dtype
+    HB = min(hb, H)
+    assert H % HB == 0, (H, HB)
+    nh = H // HB
+    zrow = jnp.zeros((B, 1, W, Cin), dt)
+    # top halo for strip h is x row h*HB-1 (zeros for h=0)
+    top = jnp.concatenate([zrow, x[:, HB - 1::HB][:, :nh - 1]], axis=1)
+    bot = jnp.concatenate([x[:, HB::HB][:, :nh - 1], zrow], axis=1)
+
+    bmax = max(Cin, Cmid)
+    b_tab = jnp.zeros((3, bmax), jnp.float32)
+    b_tab = b_tab.at[0, :Cmid].set(b1.astype(jnp.float32))
+    b_tab = b_tab.at[1, :Cmid].set(b2.astype(jnp.float32))
+    b_tab = b_tab.at[2, :Cin].set(b3.astype(jnp.float32))
+
+    kernel = partial(_bottleneck_rows_kernel, HB=HB, W=W, Cin=Cin, Cmid=Cmid)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nh),
+        in_specs=[
+            pl.BlockSpec((1, HB, W, Cin), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, Cin), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, Cin), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(), full(), full(), full(),
+            full(), full(), full(), full(), full(), full(),
+        ],
+        out_specs=pl.BlockSpec((1, HB, W, Cin), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cin), dt),
+        # hb=64 strips at W=128 sit ~6MB over Mosaic's default 16MB scoped
+        # budget (f32 z1/acc with Cmid padded to 128 lanes); v5e covers it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(x, top, bot,
+      w1.astype(dt), w2.astype(dt), w3.astype(dt), b_tab,
+      a1.reshape(1, -1).astype(jnp.float32),
+      c1.reshape(1, -1).astype(jnp.float32),
+      a2.reshape(1, -1).astype(jnp.float32),
+      c2.reshape(1, -1).astype(jnp.float32),
+      a3.reshape(1, -1).astype(jnp.float32),
+      c3.reshape(1, -1).astype(jnp.float32))
+    return out
+
+
 def _bottleneck_pool_kernel(x_ref, w1_ref, w2_ref, w3_ref, b_ref,
                             a1_ref, c1_ref, a2_ref, c2_ref, a3_ref, c3_ref,
                             out_ref, pooled_ref, *, N, H, W, Cin, Cmid):

@@ -257,3 +257,46 @@ def test_fused_apply_512_input_xla_fallback_above_fuse_max_h():
                       fuse_heads=True)
     np.testing.assert_allclose(np.asarray(want[0]), np.asarray(got[0]),
                                atol=1e-4)
+
+
+def test_fused_bottleneck_rows_matches_whole_map_kernel():
+    """Row-blocked variant (H > 64 levels): exact vs fused_bottleneck at
+    every strip height, including the border strips whose 3x3 must see
+    ZERO t1 rows (not conv1-of-zero-x rows) and the halo handoff between
+    strips. Measured on the v5e this kernel LOSES to XLA at 128px+
+    (scripts/bench_rows_bneck_ab.py, PERF.md) and is not on the default
+    path; the equality evidence documents the experiment."""
+    from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
+        bn_affine,
+        fused_bottleneck,
+        fused_bottleneck_rows,
+    )
+
+    rng = np.random.default_rng(7)
+    B, H, W, C, Cm = 2, 32, 16, 32, 16
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, C)).astype(np.float32))
+    w1 = jnp.asarray(rng.uniform(-.2, .2, (C, Cm)).astype(np.float32))
+    w2 = jnp.asarray(rng.uniform(-.2, .2, (3, 3, Cm, Cm)).astype(np.float32))
+    w3 = jnp.asarray(rng.uniform(-.2, .2, (Cm, C)).astype(np.float32))
+    # Non-zero biases/shifts make the border-row bug mode visible:
+    # relu(b1)*a1 + c1 != 0, so zero-x halo rows corrupt the 3x3 unless
+    # the kernel re-zeroes t1 at image borders.
+    b1 = jnp.asarray(rng.uniform(.2, .4, (Cm,)).astype(np.float32))
+    b2 = jnp.asarray(rng.uniform(-.1, .1, (Cm,)).astype(np.float32))
+    b3 = jnp.asarray(rng.uniform(-.1, .1, (C,)).astype(np.float32))
+    affs = [bn_affine(jnp.asarray(rng.uniform(0.5, 1.5, (n,)), jnp.float32),
+                      jnp.asarray(rng.uniform(.2, .5, (n,)), jnp.float32),
+                      jnp.asarray(rng.uniform(-.5, .5, (n,)), jnp.float32),
+                      jnp.asarray(rng.uniform(0.5, 1.5, (n,)), jnp.float32))
+            for n in (Cm, Cm, C)]
+    (a1, c1), (a2, c2), (a3, c3) = affs
+
+    want = np.asarray(fused_bottleneck(x, w1, b1, w2, b2, w3, b3,
+                                       a1, c1, a2, c2, a3, c3,
+                                       interpret=True))
+    for hb in (8, 16, 32):
+        got = np.asarray(fused_bottleneck_rows(x, w1, b1, w2, b2, w3, b3,
+                                               a1, c1, a2, c2, a3, c3,
+                                               interpret=True, hb=hb))
+        np.testing.assert_allclose(got, want, atol=1e-5,
+                                   err_msg=f"hb={hb}")
