@@ -208,7 +208,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     batch = 128
-    ips = bench_inference(batch=batch)
+    try:
+        ips = bench_inference(batch=batch)
+    except Exception:  # pragma: no cover - one retry over a tunnel hiccup
+        time.sleep(10)
+        ips = bench_inference(batch=batch)
     result = {
         "metric": "hourglass_s4_256x256_inference_images_per_sec_per_chip",
         "value": round(ips, 1),
@@ -217,13 +221,22 @@ def main():
         "batch": batch,
         "device": str(jax.devices()[0]),
     }
+    # The auxiliary sections must never cost the driver the headline
+    # metric: a transient failure is recorded in the JSON, not raised.
     if os.environ.get("BENCH_TRAIN") != "0":
-        result["train_images_per_sec_b64"] = round(bench_train_step(64), 1)
-        result["train_images_per_sec_b128"] = round(bench_train_step(128), 1)
+        try:
+            result["train_images_per_sec_b64"] = round(bench_train_step(64), 1)
+            result["train_images_per_sec_b128"] = round(
+                bench_train_step(128), 1)
+        except Exception as e:  # pragma: no cover - transient env failures
+            result["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     if os.environ.get("BENCH_RECORDS") != "0":
-        host, e2e = bench_train_from_records(wire="uint8")
-        result["host_pipeline_images_per_sec"] = round(host, 1)
-        result["train_from_records_images_per_sec"] = round(e2e, 1)
+        try:
+            host, e2e = bench_train_from_records(wire="uint8")
+            result["host_pipeline_images_per_sec"] = round(host, 1)
+            result["train_from_records_images_per_sec"] = round(e2e, 1)
+        except Exception as e:  # pragma: no cover - transient env failures
+            result["records_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
 
 

@@ -58,3 +58,28 @@ def test_dryrun_multichip_after_backend_initialized():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "OK" in proc.stdout
+
+
+def test_bench_main_survives_auxiliary_section_failures(monkeypatch, capsys):
+    """Driver contract: bench.py must print its ONE JSON line (with the
+    headline inference metric) even when the auxiliary train/records
+    sections fail — a transient tunnel error there must not cost the
+    round its benchmark artifact."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "bench_inference", lambda batch: 1234.5)
+
+    def boom(*a, **k):
+        raise RuntimeError("transient tunnel failure")
+
+    monkeypatch.setattr(bench, "bench_train_step", boom)
+    monkeypatch.setattr(bench, "bench_train_from_records", boom)
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(line)
+    assert result["value"] == 1234.5
+    assert result["metric"].endswith("images_per_sec_per_chip")
+    assert "train_bench_error" in result
+    assert "records_bench_error" in result
