@@ -29,15 +29,17 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
 
     use_fused: route the forward through the Pallas-fused inference path
     (models/fused_inference.py, +30% measured: 3,093 vs 2,372 img/s
-    incl. decode at B=128 on v5e). "auto" = on TPU for the non-mobile
-    hourglass; the flax path is the fallback everywhere else."""
+    incl. decode at B=128 on v5e; the mobile variant routes the mobile
+    kernels, +52% measured: 3,444 vs 2,260 img/s,
+    scripts/bench_mobile_fused.py). "auto" = on TPU with a 2-byte
+    compute dtype; the flax path is the fallback everywhere else."""
     auto = use_fused == "auto"
+    mobile = bool(getattr(model, "mobile", False))
     if auto:
         # 2-byte compute dtypes only: the fused kernels' VMEM blocking is
         # tuned for bf16 — at f32 the 64px level exceeds the 16 MB scoped
         # VMEM limit (measured on v5e; scripts/validate_fused_tpu.py).
         use_fused = (jax.default_backend() == "tpu"
-                     and not getattr(model, "mobile", False)
                      and jnp.dtype(model.compute_dtype).itemsize == 2)
 
     @jax.jit
@@ -55,7 +57,8 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
                               num_stacks=model.num_stacks,
                               compute_dtype=model.compute_dtype,
                               fuse_levels=True, pool_fuse_max_h=32,
-                              fuse_heads=True, interpret=interpret)[-1]
+                              fuse_heads=True, mobile=mobile,
+                              interpret=interpret)[-1]
         else:
             hms = model.apply(variables, images, train=False)[-1]
         if version == 1:

@@ -92,17 +92,35 @@ def _bn(params, stats, x, name):
     return x * a.astype(x.dtype) + c.astype(x.dtype)
 
 
-def _bottleneck_xla(params, stats, x, name, channels):
-    """Plain XLA bottleneck (used in the front, where skips are convs)."""
+def _sepconv(params, x, name):
+    """SeparableConv2D on XLA: depthwise (grouped conv, no bias) then
+    pointwise 1x1 + bias (models/hourglass.py SeparableConv)."""
+    dw = params[name]["depthwise"]["kernel"].astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x, dw, (1, 1), "SAME", feature_group_count=x.shape[-1],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    pw = params[name]["pointwise"]["kernel"].astype(x.dtype)
+    b = params[name]["pointwise"]["bias"].astype(x.dtype)
+    y = lax.conv_general_dilated(
+        y, pw, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b
+
+
+def _bottleneck_xla(params, stats, x, name, channels, mobile=False):
+    """Plain XLA bottleneck (used in the front, where skips are convs).
+    mobile=True uses SeparableConv2D for every bottleneck conv including
+    the skip (reference hourglass.py:209-231)."""
+    conv = _sepconv if mobile else _conv
     if x.shape[-1] == channels:
         skip = x
     else:
-        skip = jnp.maximum(_conv(params, x, name + "_skip"), 0)
-    y = jnp.maximum(_conv(params, x, name + "_conv_1x1_1"), 0)
+        skip = jnp.maximum(conv(params, x, name + "_skip"), 0)
+    y = jnp.maximum(conv(params, x, name + "_conv_1x1_1"), 0)
     y = _bn(params, stats, y, name + "_conv_1x1_1_bn")
-    y = jnp.maximum(_conv(params, y, name + "_conv_3x3_2"), 0)
+    y = jnp.maximum(conv(params, y, name + "_conv_3x3_2"), 0)
     y = _bn(params, stats, y, name + "_conv_3x3_2_bn")
-    y = jnp.maximum(_conv(params, y, name + "_conv_1x1_3"), 0)
+    y = jnp.maximum(conv(params, y, name + "_conv_1x1_3"), 0)
     y = _bn(params, stats, y, name + "_conv_1x1_3_bn")
     return skip + y
 
@@ -154,6 +172,18 @@ def _bottleneck_fused(params, stats, x, name, interpret, rows=4096):
         interpret=interpret, nimg=pick_nimg(B, H, W, rows))
 
 
+def _bottleneck_mobile_fused(params, stats, x, name, interpret, rows=4096):
+    from single_person_pose_estimation_tpu.ops.pallas.mobile_kernel import (
+        fused_bottleneck_mobile,
+        mobile_bneck_params,
+    )
+
+    B, H, W, _ = x.shape
+    args = mobile_bneck_params(params, stats, name, bn_affine, _BN_EPS)
+    return fused_bottleneck_mobile(
+        x, *args, interpret=interpret, nimg=pick_nimg(B, H, W, rows))
+
+
 def _bottleneck_pool_fused(params, stats, x, name, interpret, rows=4096):
     """Bottleneck with the 2x2/s2 maxpool fused as a VMEM epilogue;
     returns (out, pooled)."""
@@ -181,7 +211,7 @@ def _upsample2x(x):
                                    "uplevel_rows", "pool_fuse_max_h",
                                    "fuse_heads", "fuse_bottom",
                                    "fuse_front", "front_s2d",
-                                   "fuse_max_h"))
+                                   "fuse_max_h", "mobile"))
 def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 compute_dtype=jnp.bfloat16,
                 interpret: bool = False,
@@ -193,7 +223,8 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                 fuse_bottom: int = 0,
                 fuse_front: bool = False,
                 front_s2d: bool = False,
-                fuse_max_h: int = 64) -> List[jnp.ndarray]:
+                fuse_max_h: int = 64,
+                mobile: bool = False) -> List[jnp.ndarray]:
     """Drop-in for `model.apply(variables, images, train=False)` on the
     non-mobile hourglass, with Pallas-fused hourglass bottlenecks.
 
@@ -211,10 +242,22 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
     loses to XLA by 11-16% at the 128px levels at every feasible strip
     height (scripts/bench_rows_bneck_ab.py, PERF.md) — at large maps
     XLA's native conv is near bandwidth and the 9-shifted-matmul trick
-    pays a VMEM copy per tap."""
+    pays a VMEM copy per tap.
+    mobile: the model's bottleneck convs are SeparableConv2D (reference
+    hourglass.py:209-231); hourglass bottleneck/pool/uplevel fusion runs
+    the mobile Pallas kernels (ops.pallas.mobile_kernel — 1x1 depthwise
+    scales folded into the pointwise matmuls, 3x3 depthwise as 9 VPU
+    multiply-adds in VMEM); fuse_heads works unchanged (heads are plain
+    convs in both variants); fuse_bottom/fuse_front are standard-conv
+    kernels and are ignored in mobile mode."""
     params = variables["params"]
     stats = variables["batch_stats"]
     x = images.astype(compute_dtype)
+    if mobile:
+        # The subtree/front fusions are standard-conv kernels; bottleneck,
+        # pool and uplevel fusion have mobile twins (ops.pallas.mobile_kernel).
+        fuse_bottom = 0
+        fuse_front = False
 
     # Front module (XLA): 7x7/s2 conv -> relu -> BN, three bottlenecks.
     # front_s2d computes the opening conv as the folded 4x4/s1 conv over
@@ -228,11 +271,13 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
     else:
         y = jnp.maximum(_conv(params, x, "front_conv_1x1_1", stride=2), 0)
     y = _bn(params, stats, y, "front_conv_1x1_1_bn")
-    c = params["front_bottleneck_3_conv_1x1_3"]["kernel"].shape[-1]
+    fb3 = params["front_bottleneck_3_conv_1x1_3"]
+    c = (fb3["pointwise"]["kernel"] if mobile else fb3["kernel"]).shape[-1]
     # front_bottleneck_1 runs at the half-res level (128px for 256px
     # inputs), where a whole-map-per-image block exceeds the Mosaic VMEM
     # budget — it stays on XLA even with fuse_front.
-    y = _bottleneck_xla(params, stats, y, "front_bottleneck_1", c // 2)
+    y = _bottleneck_xla(params, stats, y, "front_bottleneck_1", c // 2,
+                        mobile=mobile)
     y = _maxpool(y)
     if fuse_front:
         y = _bottleneck_front_fused(params, stats, y, "front_bottleneck_2",
@@ -240,21 +285,38 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
         y = _bottleneck_front_fused(params, stats, y, "front_bottleneck_3",
                                     c, interpret)
     else:
-        y = _bottleneck_xla(params, stats, y, "front_bottleneck_2", c // 2)
-        y = _bottleneck_xla(params, stats, y, "front_bottleneck_3", c)
+        y = _bottleneck_xla(params, stats, y, "front_bottleneck_2", c // 2,
+                            mobile=mobile)
+        y = _bottleneck_xla(params, stats, y, "front_bottleneck_3", c,
+                            mobile=mobile)
 
     def bneck(x, name):
         if x.shape[1] > fuse_max_h:
-            return _bottleneck_xla(params, stats, x, name, c)
+            return _bottleneck_xla(params, stats, x, name, c, mobile=mobile)
+        if mobile:
+            return _bottleneck_mobile_fused(params, stats, x, name,
+                                            interpret=interpret,
+                                            rows=bneck_rows)
         return _bottleneck_fused(params, stats, x, name,
                                  interpret=interpret, rows=bneck_rows)
 
     def down(x, name):
         """Downsample bottleneck: returns (level_output, pooled)."""
         if x.shape[1] > fuse_max_h:
-            out = _bottleneck_xla(params, stats, x, name, c)
+            out = _bottleneck_xla(params, stats, x, name, c, mobile=mobile)
             return out, _maxpool(out)
         if x.shape[1] <= pool_fuse_max_h:
+            if mobile:
+                from single_person_pose_estimation_tpu.ops.pallas.mobile_kernel import (  # noqa: E501
+                    fused_bottleneck_mobile_pool,
+                    mobile_bneck_params,
+                )
+                B, H, W, _ = x.shape
+                return fused_bottleneck_mobile_pool(
+                    x, *mobile_bneck_params(params, stats, name, bn_affine,
+                                            _BN_EPS),
+                    interpret=interpret,
+                    nimg=pick_nimg(B, H, W, bneck_rows))
             return _bottleneck_pool_fused(params, stats, x, name,
                                           interpret=interpret,
                                           rows=bneck_rows)
@@ -289,7 +351,23 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
             b = bneck(x=b, name=name + "_downsample_f8_3")
             u = b
         for feat, lvl in reversed(skips):
-            if fuse_levels and feat.shape[1] <= fuse_max_h:
+            if fuse_levels and feat.shape[1] <= fuse_max_h and mobile:
+                from single_person_pose_estimation_tpu.ops.pallas.mobile_kernel import (  # noqa: E501
+                    fused_uplevel_mobile,
+                    mobile_bneck_params,
+                )
+                u = fused_uplevel_mobile(
+                    feat, u,
+                    mobile_bneck_params(params, stats,
+                                        f"{name}_upsample_{lvl}_short",
+                                        bn_affine, _BN_EPS),
+                    mobile_bneck_params(params, stats,
+                                        f"{name}_upsample_{lvl}_merged",
+                                        bn_affine, _BN_EPS),
+                    interpret=interpret,
+                    nimg=pick_nimg(feat.shape[0], feat.shape[1],
+                                   feat.shape[2], uplevel_rows))
+            elif fuse_levels and feat.shape[1] <= fuse_max_h:
                 u = fused_uplevel(
                     feat, u,
                     _bneck_params(params, stats,

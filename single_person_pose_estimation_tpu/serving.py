@@ -56,7 +56,8 @@ class PoseServer:
     """Micro-batching inference server for the stacked hourglass.
 
     Args:
-      model: StackedHourglass (non-mobile for the fused path).
+      model: StackedHourglass (standard or mobile — the fused path routes
+        the mobile Pallas kernels for mobile models).
       params, batch_stats: trained variables.
       buckets: ascending micro-batch sizes; a request batch of n pads to
         the smallest bucket >= n. The largest bucket is max_batch.
@@ -141,6 +142,7 @@ class PoseServer:
                 variables, images, num_stacks=self._model.num_stacks,
                 compute_dtype=self._model.compute_dtype,
                 fuse_levels=True, pool_fuse_max_h=32, fuse_heads=True,
+                mobile=bool(getattr(self._model, "mobile", False)),
                 interpret=self._interpret)[-1]
         return self._model.apply(variables, images, train=False)[-1]
 
