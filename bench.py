@@ -69,6 +69,44 @@ def bench_inference(num_stacks=4, num_channels=256, batch=128, iters=20,
     return batch * iters / dt
 
 
+def bench_mobile_inference(batch=128, iters=20):
+    """Mobile (separable-conv) variant through the mobile Pallas kernels
+    (ops/pallas/mobile_kernel.py): measured 3,444 img/s vs 2,260 on plain
+    XLA (+52%) — the fastest model in the framework (PERF.md). Same
+    chained-dependency methodology as bench_inference."""
+    from single_person_pose_estimation_tpu.models.fused_inference import (
+        fused_apply,
+    )
+    from single_person_pose_estimation_tpu.models.hourglass import (
+        StackedHourglass,
+    )
+
+    model = StackedHourglass(num_stacks=4, num_channels=256, mobile=True,
+                             compute_dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, 256, 3), jnp.float32),
+                           train=False)
+
+    @jax.jit
+    def forward_dep(variables, images, prev):
+        img = images * (1.0 + 1e-6 * prev)
+        out = fused_apply(variables, img, num_stacks=4, mobile=True,
+                          fuse_levels=True, pool_fuse_max_h=32,
+                          fuse_heads=True)[-1]
+        return jnp.mean(out)
+
+    images = jax.random.uniform(jax.random.PRNGKey(1),
+                                (batch, 256, 256, 3), jnp.float32)
+    prev = forward_dep(variables, images, jnp.zeros(()))
+    float(prev)
+    prev = jnp.zeros(())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        prev = forward_dep(variables, images, prev)
+    float(prev)
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def bench_train_step(batch=64, iters=12):
     """Full fused training-step throughput (augment + heatmap targets +
     fwd/bwd + Adam in one XLA program). Always reported (VERDICT.md Next
@@ -223,6 +261,12 @@ def main():
     }
     # The auxiliary sections must never cost the driver the headline
     # metric: a transient failure is recorded in the JSON, not raised.
+    if os.environ.get("BENCH_MOBILE") != "0":
+        try:
+            result["mobile_inference_images_per_sec"] = round(
+                bench_mobile_inference(batch=batch), 1)
+        except Exception as e:  # pragma: no cover - transient env failures
+            result["mobile_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     if os.environ.get("BENCH_TRAIN") != "0":
         try:
             result["train_images_per_sec_b64"] = round(bench_train_step(64), 1)
