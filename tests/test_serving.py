@@ -182,3 +182,27 @@ def test_mesh_server_rounds_buckets_and_pads():
         np.testing.assert_allclose(got, want, atol=1e-5)
     finally:
         server.close()
+
+
+def test_mobile_fused_server_matches_direct():
+    """A mobile model with use_fused=True routes the mobile Pallas kernels
+    (interpret mode here) and must decode the same keypoints as the flax
+    forward. Pins the serving.PoseServer mobile auto-routing added in
+    round 3 (+52% over XLA on the v5e, scripts/bench_mobile_fused.py)."""
+    model = StackedHourglass(num_stacks=1, num_channels=16, mobile=True,
+                             compute_dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(5),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    server = PoseServer(model, variables["params"],
+                        variables["batch_stats"],
+                        buckets=(1, 2), max_wait_s=0.01,
+                        use_fused=True, interpret=True,
+                        transfer_dtype="float32")
+    try:
+        img = np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(6), (64, 64, 3)))
+        got = server.submit(img).result(timeout=300)
+        want = _direct(model, variables, img[None])[0]
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        server.close()
