@@ -48,9 +48,11 @@ def main():
     want = [np.asarray(o, np.float32) for o in apply_xla(variables, images)]
     got = fused_apply(variables, images, num_stacks=stacks, mobile=True,
                       fuse_levels=True, pool_fuse_max_h=32, fuse_heads=True)
+    failed = False
     for s in range(stacks):
         d = float(np.max(np.abs(np.asarray(got[s], np.float32) - want[s])))
         ok = d <= COND_TOL
+        failed = failed or not ok
         print(f"equality stack{s}: max|d|={d:.3e} "
               f"{'PASS' if ok else '** FAIL **'}", flush=True)
 
@@ -84,6 +86,10 @@ def main():
     print(f"\nmobile fused: {med['fused']:.0f} img/s | mobile xla: "
           f"{med['xla']:.0f} img/s ({(med['fused']/med['xla']-1)*100:+.1f}%)",
           flush=True)
+    if failed:
+        print("EQUALITY FAILED — the throughput above is NOT validated",
+              flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,8 @@ def test_bench_main_survives_auxiliary_section_failures(monkeypatch, capsys):
     round its benchmark artifact."""
     import json
 
+    import jax
+
     import bench
 
     monkeypatch.setattr(bench, "bench_inference", lambda batch: 1234.5)
@@ -74,12 +76,20 @@ def test_bench_main_survives_auxiliary_section_failures(monkeypatch, capsys):
     def boom(*a, **k):
         raise RuntimeError("transient tunnel failure")
 
+    monkeypatch.setattr(bench, "bench_mobile_inference", boom)
     monkeypatch.setattr(bench, "bench_train_step", boom)
     monkeypatch.setattr(bench, "bench_train_from_records", boom)
-    bench.main()
+    # bench.main() points the persistent compile cache at the bench dir;
+    # restore the suite's cache config afterwards.
+    old_cache = jax.config.jax_compilation_cache_dir
+    try:
+        bench.main()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_cache)
     line = capsys.readouterr().out.strip().splitlines()[-1]
     result = json.loads(line)
     assert result["value"] == 1234.5
     assert result["metric"].endswith("images_per_sec_per_chip")
+    assert "mobile_bench_error" in result
     assert "train_bench_error" in result
     assert "records_bench_error" in result
