@@ -17,7 +17,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from single_person_pose_estimation_tpu import losses
 from single_person_pose_estimation_tpu.configs.default_config import Config
 from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
-from single_person_pose_estimation_tpu.ops.heatmap import render_heatmaps_batch
 from single_person_pose_estimation_tpu.training import steps
 from scripts.bench_bwd_variants import (batch, fused_fwd_bwd_fn, fwd_bwd_fn,
                                         timeit)

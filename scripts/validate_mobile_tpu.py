@@ -44,14 +44,10 @@ from single_person_pose_estimation_tpu.models.fused_inference import (  # noqa: 
 from single_person_pose_estimation_tpu.models.hourglass import (  # noqa: E402
     StackedHourglass,
 )
-from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (  # noqa: E402
-    bn_affine,
-)
 from single_person_pose_estimation_tpu.ops.pallas.mobile_kernel import (  # noqa: E402
     fused_bottleneck_mobile,
     fused_bottleneck_mobile_pool,
     fused_uplevel_mobile,
-    mobile_bneck_params,
 )
 
 KERNEL_TOL = 1e-4

@@ -11,7 +11,6 @@ only if TensorFlow is importable; the framework itself never requires TF).
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
