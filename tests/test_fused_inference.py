@@ -315,6 +315,7 @@ def test_fused_apply_mobile_matches_flax():
     want = model.apply(v, x, train=False)
     for flags in (dict(),
                   dict(fuse_heads=True),
+                  dict(front_s2d=True),
                   dict(fuse_levels=True, pool_fuse_max_h=32,
                        fuse_heads=True)):
         got = fused_apply(v, x, num_stacks=2, compute_dtype=jnp.float32,
