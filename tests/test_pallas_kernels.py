@@ -160,3 +160,87 @@ def test_augment_batch_backends_agree():
     np.testing.assert_array_equal(np.asarray(kvg), np.asarray(kvm))
     # photometric renorm forces [0,1]; means should be close
     assert abs(float(img_g.mean()) - float(img_m.mean())) < 0.05
+
+
+def _ref_mobile_bneck(x, args):
+    """Hand-rolled mobile bottleneck (depthwise->pointwise->relu->BN x3,
+    identity skip) in plain jnp — the mobile_kernel tuple layout."""
+    import jax.lax as lax
+
+    (dw1, pw1, b1, dw2, pw2, b2, dw3, pw3, b3,
+     a1, c1, a2, c2, a3, c3) = args
+    t1 = jnp.maximum(jnp.einsum("bhwc,cd->bhwd", x * dw1, pw1) + b1,
+                     0) * a1 + c1
+    u = lax.conv_general_dilated(
+        t1, dw2[:, :, None, :], (1, 1), "SAME",
+        feature_group_count=t1.shape[-1],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    t2 = jnp.maximum(jnp.einsum("bhwc,cd->bhwd", u, pw2) + b2, 0) * a2 + c2
+    t3 = jnp.maximum(jnp.einsum("bhwc,cd->bhwd", t2 * dw3, pw3) + b3,
+                     0) * a3 + c3
+    return x + t3
+
+
+def _mobile_args(seed, C, Cm):
+    rng = np.random.default_rng(seed)
+    f = lambda s, lo, hi: jnp.asarray(rng.uniform(lo, hi, s), jnp.float32)
+    return (f((C,), 0.5, 1.5), f((C, Cm), -.2, .2), f((Cm,), -.1, .1),
+            f((3, 3, Cm), -.5, .5), f((Cm, Cm), -.2, .2), f((Cm,), -.1, .1),
+            f((Cm,), 0.5, 1.5), f((Cm, C), -.2, .2), f((C,), -.1, .1),
+            f((Cm,), 0.5, 1.5), f((Cm,), -.3, .3),
+            f((Cm,), 0.5, 1.5), f((Cm,), -.3, .3),
+            f((C,), 0.5, 1.5), f((C,), -.3, .3))
+
+
+def test_mobile_bottleneck_kernel_direct():
+    """fused_bottleneck_mobile vs the hand-rolled separable bottleneck."""
+    from single_person_pose_estimation_tpu.ops.pallas.mobile_kernel import (
+        fused_bottleneck_mobile,
+    )
+
+    rng = np.random.default_rng(11)
+    B, H, W, C, Cm = 2, 16, 16, 32, 16
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, C)), jnp.float32)
+    args = _mobile_args(12, C, Cm)
+    want = np.asarray(_ref_mobile_bneck(x, args))
+    got = np.asarray(fused_bottleneck_mobile(x, *args, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_mobile_bottleneck_pool_kernel_direct():
+    from single_person_pose_estimation_tpu.ops.pallas.mobile_kernel import (
+        fused_bottleneck_mobile_pool,
+    )
+    import jax.lax as lax
+
+    rng = np.random.default_rng(13)
+    B, H, W, C, Cm = 2, 16, 16, 32, 16
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, C)), jnp.float32)
+    args = _mobile_args(14, C, Cm)
+    want = np.asarray(_ref_mobile_bneck(x, args))
+    want_p = np.asarray(lax.reduce_window(
+        jnp.asarray(want), -jnp.inf, lax.max,
+        (1, 2, 2, 1), (1, 2, 2, 1), "VALID"))
+    got, got_p = fused_bottleneck_mobile_pool(x, *args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_p), want_p, atol=1e-4)
+
+
+def test_mobile_uplevel_kernel_direct():
+    from single_person_pose_estimation_tpu.ops.pallas.mobile_kernel import (
+        fused_uplevel_mobile,
+    )
+
+    rng = np.random.default_rng(15)
+    B, H, W, C, Cm = 2, 16, 16, 32, 16
+    feat = jnp.asarray(rng.uniform(-1, 1, (B, H, W, C)), jnp.float32)
+    ulo = jnp.asarray(rng.uniform(-1, 1, (B, H // 2, W // 2, C)),
+                      jnp.float32)
+    s_args = _mobile_args(16, C, Cm)
+    m_args = _mobile_args(17, C, Cm)
+    d = _ref_mobile_bneck(feat, s_args)
+    up = jnp.repeat(jnp.repeat(ulo, 2, axis=1), 2, axis=2)
+    want = np.asarray(_ref_mobile_bneck(d + up, m_args))
+    got = np.asarray(fused_uplevel_mobile(feat, ulo, s_args, m_args,
+                                          interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
