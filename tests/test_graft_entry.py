@@ -50,6 +50,17 @@ def test_dryrun_multichip_self_configures():
 def test_dryrun_multichip_after_backend_initialized():
     # Worst case: the caller already initialized a backend (e.g. ran
     # entry() on the TPU first). _force_cpu_mesh must clear + reconfigure.
+    #
+    # The jax.devices() probe initializes the DEFAULT backend — on this
+    # box that is the remote axon TPU. If its tunnel is down, devices()
+    # blocks forever and this test would burn its whole 2400s timeout
+    # and report a false failure — probe cheaply first and skip instead.
+    import pytest
+
+    if not _probe_default_backend():
+        pytest.skip("default backend (axon tunnel) unreachable — "
+                    "the clear+reconfigure path needs a live backend "
+                    "to initialize first")
     proc = _run_in_clean_subprocess(
         "import jax\n"
         "jax.devices()\n"  # force backend init on whatever platform
@@ -58,6 +69,21 @@ def test_dryrun_multichip_after_backend_initialized():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "OK" in proc.stdout
+
+
+def _probe_default_backend(timeout_s: int = 90) -> bool:
+    """True if `jax.devices()` completes in a fresh interpreter within
+    timeout_s (i.e. the default backend — possibly a tunneled TPU — is
+    actually reachable)."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")}
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s, env=env)
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def test_bench_main_survives_auxiliary_section_failures(monkeypatch, capsys):
