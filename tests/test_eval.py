@@ -432,3 +432,27 @@ def test_predict_auto_falls_back_to_flax_above_256(monkeypatch):
     out = fn(v["params"], v["batch_stats"],
              jax.random.uniform(jax.random.PRNGKey(1), (1, 320, 320, 3)))
     assert out.shape == (1, 17, 3)
+
+
+def test_predict_auto_falls_back_to_flax_above_256_mobile(monkeypatch):
+    """The >256px auto fallback must hold for mobile models too (they are
+    auto-routed to the mobile fused kernels since round 3): with the
+    backend spoofed to "tpu" this runs on CPU, where the fused branch
+    could not compile — success means the flax branch was traced."""
+    import jax
+    import jax.numpy as jnp
+
+    from single_person_pose_estimation_tpu.evaluation import predict
+    from single_person_pose_estimation_tpu.models.hourglass import (
+        StackedHourglass,
+    )
+
+    monkeypatch.setattr(predict.jax, "default_backend", lambda: "tpu")
+    model = StackedHourglass(num_stacks=1, num_channels=16, mobile=True,
+                             compute_dtype=jnp.bfloat16)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 320, 320, 3)),
+                   train=False)
+    fn = predict.make_predict_decode_fn(model, use_fused="auto")
+    out = fn(v["params"], v["batch_stats"],
+             jax.random.uniform(jax.random.PRNGKey(1), (1, 320, 320, 3)))
+    assert out.shape == (1, 17, 3)
