@@ -358,3 +358,28 @@ def test_recalibrate_pipeline_batch_stats(setup):
         assert str(pw) == str(pg)
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=2e-5, err_msg=str(pw))
+
+
+def test_pipeline_forward_mobile_variant():
+    """GPipe composes with the mobile (separable-conv) model family: the
+    split/merge and per-stage scan are param-tree-generic, so the mobile
+    variant must pipeline to the same outputs as its sequential forward."""
+    model = StackedHourglass(num_stacks=NUM_STACKS, num_channels=16,
+                             mobile=True)
+    variables = model.init(jax.random.PRNGKey(3),
+                           jnp.zeros((1, HW, HW, 3)), train=False)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": jax.tree.map(lambda x: x + 0.01,
+                                    variables["batch_stats"]),
+    }
+    images = jax.random.uniform(jax.random.PRNGKey(4), (B, HW, HW, 3))
+
+    mesh = mesh_lib.create_mesh((4,), ("pipe",), devices=jax.devices()[:4])
+    front, stacked = pipeline.split_pipeline_variables(variables, NUM_STACKS)
+    fwd = pipeline.make_pipeline_forward(model, mesh, num_microbatches=4)
+    got = fwd(front, stacked, images)
+    want = jax.jit(lambda v, x: model.apply(v, x, train=False)[-1])(
+        variables, images)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
