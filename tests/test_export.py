@@ -78,3 +78,25 @@ def test_trace_context(tmp_path):
     # a trace directory with at least one event file must exist
     found = any(files for _, _, files in os.walk(d))
     assert found
+
+
+def test_artifact_round_trip_mobile(tmp_path):
+    """The Orbax inference artifact must rebuild the MOBILE variant from
+    its saved config (mobile=True) — a wrong model family would fail
+    structurally or numerically on restore."""
+    cfg = CFG.replace(mobile=True)
+    model = StackedHourglass(num_stacks=1, num_channels=16, mobile=True)
+    tx = steps_lib.make_optimizer(1e-3)
+    state = steps_lib.TrainState.create(
+        model, tx, jax.random.PRNGKey(3), input_shape=(1, 64, 64, 3))
+    path = str(tmp_path / "artifact_mobile")
+    export.save_inference_artifact(cfg, state.params, state.batch_stats,
+                                   path)
+    model2, variables, predict = export.load_inference_artifact(path)
+    assert getattr(model2, "mobile", False) is True
+    x = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    want = model.apply({"params": state.params,
+                        "batch_stats": state.batch_stats}, x,
+                       train=False)[-1]
+    np.testing.assert_allclose(np.asarray(predict(x)), np.asarray(want),
+                               atol=1e-6)
