@@ -135,10 +135,20 @@ def cmd_eval(args, cfg: Config):
                        legacy_decode=cfg.legacy_decode,
                        save_path=args.save_path)
     print(f"{len(preds)} predictions -> {args.save_path}")
+    stats = None
     if args.gt:
         stats = eval_oks(preds, args.gt)
         print("OKS stats:", [round(float(s), 3) for s in stats])
-    eval_pck(preds, COCO_KEYPOINT_LABELS, pck_threshold=args.pck_threshold)
+    pck = eval_pck(preds, COCO_KEYPOINT_LABELS,
+                   pck_threshold=args.pck_threshold)
+    if args.report:
+        from single_person_pose_estimation_tpu.utils.reporting import (
+            save_eval_report,
+        )
+        paths = save_eval_report(args.report, pck, COCO_KEYPOINT_LABELS,
+                                 oks_stats=stats,
+                                 pck_threshold=args.pck_threshold)
+        print("Report written:", ", ".join(paths))
 
 
 def cmd_serve(args, cfg: Config):
@@ -237,6 +247,9 @@ def main(argv=None):
                    help="refresh BN running stats over N train batches "
                         "before predicting (needed after short trainings)")
     e.add_argument("--save-path", default="result.json")
+    e.add_argument("--report", default=None, metavar="PREFIX",
+                   help="write PREFIX.md + PCK/OKS figures (the artifacts "
+                        "the reference publishes as README screenshots)")
     e.set_defaults(fn=cmd_eval)
 
     b = sub.add_parser("bench")

@@ -108,9 +108,13 @@ class Config:
     # opening conv as the exactly-equal folded 4x4/s1 conv over the
     # 2x2-blocked input — a 3-deep reduction underfills the MXU's 128-deep
     # systolic dimension. Same stored parameter; checkpoints interchange.
-    # "auto" = on for TPU (measured +3.3% train step, +0.9% fused
-    # inference on v5e), off elsewhere; "on"/"off" force it.
-    front_s2d: str = "auto"
+    # Interleaved A/B medians on v5e measured a WASH on both paths
+    # (inference -0.5%, train +0.4%, inside the +-1.5% run-to-run band;
+    # PERF.md "Space-to-depth front fold"), so the default is "off".
+    # "auto" = on for TPU / off elsewhere; "on" forces it — the fold is
+    # exactly equal, so either setting is safe if it wins on other
+    # TPU generations.
+    front_s2d: str = "off"
     # Pre-resize person crops to this square size at ETL time (0 = store
     # the native crop resolution, the reference's gen_tfrecords behavior).
     # Keypoints are stored scaled into the resized frame, so the training

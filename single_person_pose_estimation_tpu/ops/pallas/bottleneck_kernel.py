@@ -83,6 +83,20 @@ def pick_nimg(B: int, H: int, W: int, target_rows: int = 4096) -> int:
     return n
 
 
+def resolve_nimg(nimg: int, B: int, H: int, W: int,
+                 target_rows: int = 4096) -> int:
+    """nimg=0 -> pick_nimg; an explicit nimg must divide B — the kernels
+    launch B // nimg grid blocks, so a non-divisor would silently drop the
+    tail images."""
+    if nimg:
+        if B % nimg:
+            raise ValueError(
+                f"nimg={nimg} must divide the batch size {B} "
+                "(the kernel grid covers B // nimg image blocks)")
+        return nimg
+    return pick_nimg(B, H, W, target_rows)
+
+
 @partial(jax.jit, static_argnames=("interpret", "nimg"))
 def fused_bottleneck(x, w1, b1, w2, b2, w3, b3,
                      a1, c1, a2, c2, a3, c3, interpret: bool = False,
@@ -96,7 +110,7 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3,
     B, H, W, Cin = x.shape
     Cmid = w1.shape[1]
     dt = x.dtype
-    N = nimg or pick_nimg(B, H, W)
+    N = resolve_nimg(nimg, B, H, W)
     # Biases padded into one (3, max(C, Cm)) table to limit operand count.
     bmax = max(Cin, Cmid)
     b_tab = jnp.zeros((3, bmax), jnp.float32)
@@ -295,7 +309,7 @@ def fused_bottleneck_pool(x, w1, b1, w2, b2, w3, b3,
     b_tab = b_tab.at[1, :Cmid].set(b2.astype(jnp.float32))
     b_tab = b_tab.at[2, :Cin].set(b3.astype(jnp.float32))
 
-    N = nimg or pick_nimg(B, H, W)
+    N = resolve_nimg(nimg, B, H, W)
     kernel = partial(_bottleneck_pool_kernel, N=N, H=H, W=W, Cin=Cin,
                      Cmid=Cmid)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -376,7 +390,7 @@ def fused_bottleneck_convskip(x, ws, bs, w1, b1, w2, b2, w3, b3,
     Cmid = w1.shape[1]
     Cout = ws.shape[1]
     dt = x.dtype
-    N = nimg or pick_nimg(B, H, W)
+    N = resolve_nimg(nimg, B, H, W)
     bmax = max(Cin, Cmid, Cout)
     b_tab = jnp.zeros((4, bmax), jnp.float32)
     b_tab = b_tab.at[0, :Cmid].set(b1.astype(jnp.float32))

@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
-    pick_nimg,
+    resolve_nimg,
 )
 
 # The 64x64-level blocks put several multi-MB operands plus f32 matmul
@@ -78,7 +78,7 @@ def conv1x1_relu_stats(x, w, b, scale=None, shift=None,
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
     dt = x.dtype
-    N = nimg or pick_nimg(B, H, W)
+    N = resolve_nimg(nimg, B, H, W)
     affine = scale is not None
     if not affine:
         scale = jnp.ones((Cin,), jnp.float32)
@@ -148,7 +148,7 @@ def conv3x3_relu_stats(x, w, b, scale, shift, interpret: bool = False,
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
     dt = x.dtype
-    N = nimg or pick_nimg(B, H, W)
+    N = resolve_nimg(nimg, B, H, W)
     kernel = partial(_conv3x3_relu_stats_kernel, N=N, H=H, W=W,
                      Cin=Cin, Cout=Cout)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -219,7 +219,7 @@ def _reduce_kernel(dz_ref, a_ref, sums_ref, *, R, C):
 def bn_bwd_reduce(dz, a, interpret: bool = False, nimg: int = 0):
     """(2, C) f32 [sum(dz), sum(dz*a)] over batch+spatial."""
     B, H, W, C = dz.shape
-    N = nimg or pick_nimg(B, H, W)
+    N = resolve_nimg(nimg, B, H, W)
     kernel = partial(_reduce_kernel, R=N * H * W, C=C)
     blk = lambda c: pl.BlockSpec((N, H, W, c), lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -294,7 +294,7 @@ def unit1x1_bwd(dz, a, cin, w, k, aff=None, affine_cin: bool = True,
     B, H, W, C = dz.shape
     Cm = w.shape[0]
     dt = a.dtype
-    N = nimg or pick_nimg(B, H, W)
+    N = resolve_nimg(nimg, B, H, W)
     if aff is None:
         aff = jnp.zeros((2, Cm), jnp.float32)
     kernel = partial(_unit1x1_bwd_kernel, R=N * H * W, C=C, Cm=Cm,
@@ -377,7 +377,7 @@ def unit3x3_bwd(dz, a, cin, w, k, aff, interpret: bool = False,
     previous unit's BN affine."""
     B, H, W, C = dz.shape
     dt = a.dtype
-    N = nimg or pick_nimg(B, H, W)
+    N = resolve_nimg(nimg, B, H, W)
     kernel = partial(_unit3x3_bwd_kernel, N=N, H=H, W=W, C=C)
     blk = lambda: pl.BlockSpec((N, H, W, C), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -435,7 +435,7 @@ def unit1_bwd(dz, a, x, g, w, k, interpret: bool = False, nimg: int = 0):
     B, H, W, Cm = dz.shape
     C = x.shape[-1]
     dt = a.dtype
-    N = nimg or pick_nimg(B, H, W)
+    N = resolve_nimg(nimg, B, H, W)
     kernel = partial(_unit1_bwd_kernel, R=N * H * W, C=C, Cm=Cm)
     blk = lambda c: pl.BlockSpec((N, H, W, c), lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)

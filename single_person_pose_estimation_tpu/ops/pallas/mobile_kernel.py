@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
-    pick_nimg,
+    resolve_nimg,
 )
 
 
@@ -131,7 +131,7 @@ def fused_bottleneck_mobile(x, *args, interpret: bool = False, nimg: int = 0):
     B, H, W, Cin = x.shape
     Cmid = args[1].shape[1]
     dt = x.dtype
-    N = nimg or pick_nimg(B, H, W)
+    N = resolve_nimg(nimg, B, H, W)
     ops = _prep_operands(args, Cin, Cmid, dt)
 
     kernel = partial(_mobile_bneck_kernel, N=N, H=H, W=W, Cin=Cin, Cmid=Cmid)
@@ -158,7 +158,7 @@ def fused_bottleneck_mobile_pool(x, *args, interpret: bool = False,
     B, H, W, Cin = x.shape
     Cmid = args[1].shape[1]
     dt = x.dtype
-    N = nimg or pick_nimg(B, H, W)
+    N = resolve_nimg(nimg, B, H, W)
     ops = _prep_operands(args, Cin, Cmid, dt)
 
     kernel = partial(_mobile_bneck_pool_kernel, N=N, H=H, W=W, Cin=Cin,
@@ -194,7 +194,7 @@ def fused_uplevel_mobile(feat, u_lo, short_args, merged_args,
     B, H, W, Cin = feat.shape
     Cmid = short_args[1].shape[1]
     dt = feat.dtype
-    N = nimg or pick_nimg(B, H, W, target_rows=2048)
+    N = resolve_nimg(nimg, B, H, W, target_rows=2048)
     sp = _prep_operands(short_args, Cin, Cmid, dt)
     mp = _prep_operands(merged_args, Cin, Cmid, dt)
 

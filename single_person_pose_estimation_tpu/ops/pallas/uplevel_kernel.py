@@ -89,13 +89,13 @@ def fused_uplevel(feat, u_lo, short_params, merged_params,
     bottleneck — two fused bottlenecks' temporaries share the VMEM budget).
     """
     from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
-        pick_nimg,
+        resolve_nimg,
     )
 
     B, H, W, Cin = feat.shape
     Cmid = short_params["w1"].shape[1]
     dt = feat.dtype
-    N = nimg or pick_nimg(B, H, W, target_rows=2048)
+    N = resolve_nimg(nimg, B, H, W, target_rows=2048)
 
     def prep(p):
         b, a, c = _pack_params(p["b1"], p["b2"], p["b3"], p["a1"], p["c1"],

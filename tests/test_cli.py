@@ -108,8 +108,9 @@ def test_serve_end_to_end(tmp_path):
 
 
 def test_build_model_front_s2d_dial():
-    """Config.front_s2d: auto = TPU-only (off on the CPU test backend),
-    on/off force the flag, anything else is rejected."""
+    """Config.front_s2d: default off (the A/B measured a wash, PERF.md),
+    auto = TPU-only (off on the CPU test backend), on/off force the flag,
+    anything else is rejected."""
     import pytest
 
     from single_person_pose_estimation_tpu import cli
@@ -117,7 +118,10 @@ def test_build_model_front_s2d_dial():
         Config,
     )
 
-    assert cli._build_model(Config()).front_s2d is False  # auto, CPU
+    assert Config().front_s2d == "off"
+    assert cli._build_model(Config()).front_s2d is False
+    assert cli._build_model(
+        Config().replace(front_s2d="auto")).front_s2d is False  # auto, CPU
     assert cli._build_model(
         Config().replace(front_s2d="on")).front_s2d is True
     assert cli._build_model(

@@ -244,3 +244,29 @@ def test_mobile_uplevel_kernel_direct():
     got = np.asarray(fused_uplevel_mobile(feat, ulo, s_args, m_args,
                                           interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_explicit_nimg_must_divide_batch():
+    """An explicit nimg that does not divide B is rejected at trace time —
+    the kernel grid is B // nimg blocks, so a non-divisor would silently
+    drop the tail images (ops/pallas/bottleneck_kernel.resolve_nimg)."""
+    import pytest
+
+    from single_person_pose_estimation_tpu.ops.pallas.bottleneck_kernel import (
+        fused_bottleneck,
+        resolve_nimg,
+    )
+
+    assert resolve_nimg(0, 128, 64, 64) >= 1     # auto path unchanged
+    assert resolve_nimg(4, 128, 8, 8) == 4
+    with pytest.raises(ValueError, match="divide"):
+        resolve_nimg(3, 128, 8, 8)
+
+    C, Cm = 8, 4
+    x = jnp.ones((4, 8, 8, C))
+    args = [jnp.ones((C, Cm)), jnp.zeros(Cm), jnp.ones((3, 3, Cm, Cm)),
+            jnp.zeros(Cm), jnp.ones((Cm, C)), jnp.zeros(C),
+            jnp.ones(Cm), jnp.zeros(Cm), jnp.ones(Cm), jnp.zeros(Cm),
+            jnp.ones(C), jnp.zeros(C)]
+    with pytest.raises(ValueError, match="divide"):
+        fused_bottleneck(x, *args, interpret=True, nimg=3)
