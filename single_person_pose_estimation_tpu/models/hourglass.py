@@ -68,6 +68,51 @@ class _S2DFrontConv(nn.Module):
         return front_conv_s2d(x, kernel, bias)
 
 
+class _DepthwiseTaps(nn.Module):
+    """Depthwise k x k conv computed as k*k shifted per-channel
+    multiply-adds instead of a feature_group_count grouped conv.
+
+    Same parameter ("kernel", (k, k, 1, C), same init) and same math as the
+    grouped-conv formulation, so the two are freely interchangeable on one
+    checkpoint. The hypothesis was that XLA's off-MXU grouped-conv special
+    case would lose to plain fusable elementwise work (and unlike the
+    Pallas mobile kernels this form is differentiable, so TRAIN could
+    benefit too). MEASURED SLOWER on v5e at S4/256 @ 256^2 (interleaved
+    medians, scripts/bench_mobile_taps_ab.py): train 311 vs 423 img/s
+    (-26%), XLA eval forward 1,792 vs 2,287 (-22%) — each of the 9 taps
+    re-reads the padded tensor from HBM and XLA does not collapse them
+    into one pass, while its native depthwise lowering does; kept as an
+    equality-tested dial + documented negative result (PERF.md).
+    k == 1 degenerates to a per-channel scale. Products are accumulated
+    in f32 (matching XLA conv semantics).
+    """
+
+    kernel_size: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param("kernel", _KERNEL_INIT, (k, k, 1, C),
+                            jnp.float32)
+        # Round taps to the compute dtype exactly as nn.Conv would, then
+        # lift to f32 so per-tap products accumulate exactly.
+        taps = kernel.astype(self.dtype).astype(jnp.float32)
+        x = x.astype(self.dtype)
+        if k == 1:
+            return (x.astype(jnp.float32) * taps[0, 0, 0]).astype(self.dtype)
+        pad = k // 2
+        B, H, W, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        acc = jnp.zeros(x.shape, jnp.float32)
+        for dy in range(k):
+            for dx in range(k):
+                acc = acc + (xp[:, dy:dy + H, dx:dx + W, :]
+                             .astype(jnp.float32) * taps[dy, dx, 0])
+        return acc.astype(self.dtype)
+
+
 class SeparableConv(nn.Module):
     """Keras SeparableConv2D equivalent: depthwise k x k then pointwise 1x1.
 
@@ -75,25 +120,39 @@ class SeparableConv(nn.Module):
     pointwise kernel (1, 1, Cin, Cout), single bias on the pointwise), so
     param counts and weight import line up with the reference's mobile
     variant (hourglass.py:209-231).
+
+    depthwise_impl selects the lowering (parameters are identical):
+    "conv" = feature_group_count grouped conv (default; measured faster),
+    "taps" = shifted per-channel multiply-adds (_DepthwiseTaps; measured
+    slower on v5e — see its docstring).
     """
 
     features: int
     kernel_size: int = 3
     dtype: Any = jnp.float32
+    depthwise_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
-        x = nn.Conv(
-            features=in_features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            feature_group_count=in_features,
-            use_bias=False,
-            padding="SAME",
-            kernel_init=_KERNEL_INIT,
-            dtype=self.dtype,
-            name="depthwise",
-        )(x)
+        if self.depthwise_impl == "taps":
+            x = _DepthwiseTaps(kernel_size=self.kernel_size,
+                               dtype=self.dtype, name="depthwise")(x)
+        elif self.depthwise_impl == "conv":
+            x = nn.Conv(
+                features=in_features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                feature_group_count=in_features,
+                use_bias=False,
+                padding="SAME",
+                kernel_init=_KERNEL_INIT,
+                dtype=self.dtype,
+                name="depthwise",
+            )(x)
+        else:
+            raise ValueError(
+                f"depthwise_impl must be 'taps' or 'conv', "
+                f"got {self.depthwise_impl!r}")
         x = nn.Conv(
             features=self.features,
             kernel_size=(1, 1),
@@ -139,6 +198,12 @@ class StackedHourglass(nn.Module):
     # Same stored (7, 7, 3, 64) parameter, so checkpoints/weight imports
     # are interchangeable between the two settings.
     front_s2d: bool = False
+    # mobile=True depthwise lowering: "conv" = grouped conv (default —
+    # measured FASTER), "taps" = shifted per-channel multiply-adds
+    # (measured -22..-26% on v5e; kept as a documented negative result —
+    # see _DepthwiseTaps and PERF.md). Parameters are identical either
+    # way; see SeparableConv.
+    mobile_depthwise: str = "conv"
 
     # ------------------------------------------------------------------
     def _activate(self, y, activation):
@@ -168,7 +233,9 @@ class StackedHourglass(nn.Module):
         plain Conv2D otherwise (hourglass.py:184-206)."""
         if self.mobile:
             y = SeparableConv(features=features, kernel_size=kernel_size,
-                              dtype=self.compute_dtype, name=name)(x)
+                              dtype=self.compute_dtype,
+                              depthwise_impl=self.mobile_depthwise,
+                              name=name)(x)
             y = checkpoint_name(y, "conv_out")
             return self._activate(y, activation)
         return self._conv(x, features, kernel_size, name, activation)

@@ -119,6 +119,87 @@ def test_gradients_flow_to_all_stacks():
         assert float(jnp.abs(g).max()) > 0
 
 
+def test_mobile_depthwise_taps_matches_conv():
+    """The 'taps' depthwise lowering is a drop-in for the grouped conv:
+    identical parameter tree AND init values, and the same forward answer
+    on one set of weights (checkpoints are interchangeable)."""
+    kwargs = dict(num_stacks=2, num_channels=64, mobile=True)
+    mc = StackedHourglass(**kwargs, mobile_depthwise="conv")
+    mt = StackedHourglass(**kwargs, mobile_depthwise="taps")
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3))
+    vc = mc.init(jax.random.PRNGKey(0), x, train=False)
+    vt = mt.init(jax.random.PRNGKey(0), x, train=False)
+    leaves_c, tree_c = jax.tree.flatten(vc)
+    leaves_t, tree_t = jax.tree.flatten(vt)
+    assert tree_c == tree_t
+    for lc, lt in zip(leaves_c, leaves_t):
+        np.testing.assert_array_equal(np.asarray(lc), np.asarray(lt))
+    oc = mc.apply(vc, x, train=False)
+    ot = mt.apply(vc, x, train=False)  # taps lowering on conv-init weights
+    for a, b in zip(oc, ot):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("kernel_size", [1, 3])
+def test_mobile_depthwise_taps_grads_match_conv(kernel_size):
+    """The taps lowering trains identically: input and parameter gradients
+    match the grouped-conv formulation on the same weights (same function,
+    so the same VJP — only the lowering differs). Compared at the
+    SeparableConv level, where the two are directly adjacent; the
+    full-model check is the forward test above (train-mode BatchNorm's
+    1/sqrt(var) chains amplify benign summation-order noise)."""
+    from single_person_pose_estimation_tpu.models.hourglass import (
+        SeparableConv,
+    )
+
+    mc = SeparableConv(features=48, kernel_size=kernel_size,
+                       depthwise_impl="conv")
+    mt = SeparableConv(features=48, kernel_size=kernel_size,
+                       depthwise_impl="taps")
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 16, 32))
+    ct = jax.random.normal(jax.random.PRNGKey(8), (2, 16, 16, 48))
+    v = mc.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(model, params, xx):
+        return jnp.sum(model.apply({"params": params}, xx) * ct)
+
+    gc = jax.grad(lambda p, xx: loss_fn(mc, p, xx), argnums=(0, 1))(
+        v["params"], x)
+    gt = jax.grad(lambda p, xx: loss_fn(mt, p, xx), argnums=(0, 1))(
+        v["params"], x)
+    leaves_c, tree_c = jax.tree.flatten(gc)
+    leaves_t, tree_t = jax.tree.flatten(gt)
+    assert tree_c == tree_t
+    for lc, lt in zip(leaves_c, leaves_t):
+        np.testing.assert_allclose(np.asarray(lc), np.asarray(lt),
+                                   atol=1e-4, rtol=1e-5)
+
+
+def test_mobile_depthwise_taps_bf16():
+    """bf16 compute path of the taps lowering stays within the standard
+    bf16 band of the f32 answer (same check the conv lowering passes)."""
+    m32 = StackedHourglass(num_stacks=1, num_channels=64, mobile=True,
+                           mobile_depthwise="taps")
+    mbf = StackedHourglass(num_stacks=1, num_channels=64, mobile=True,
+                           mobile_depthwise="taps",
+                           compute_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 64, 64, 3))
+    v = m32.init(jax.random.PRNGKey(0), x, train=False)
+    o32 = m32.apply(v, x, train=False)
+    obf = mbf.apply(v, x, train=False)
+    # Sigmoid heads in [0, 1]; bf16 rounding bounds the absolute error.
+    np.testing.assert_allclose(np.asarray(o32[0]), np.asarray(obf[0]),
+                               atol=3e-2)
+
+
+def test_mobile_depthwise_invalid_value_raises():
+    m = StackedHourglass(num_stacks=1, num_channels=32, mobile=True,
+                         mobile_depthwise="bogus")
+    with pytest.raises(ValueError, match="taps.*conv|depthwise_impl"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+
+
 def test_invalid_input_size_clear_error():
     m = StackedHourglass(num_stacks=1, num_channels=16)
     with pytest.raises(ValueError, match="divisible by 64"):
