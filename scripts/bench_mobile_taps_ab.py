@@ -12,6 +12,10 @@ models/hourglass.py::_DepthwiseTaps) on the MOBILE variant:
 
 Run on the real TPU. Same-weights equality is asserted by
 tests/test_model.py::test_mobile_depthwise_taps_*.
+
+TAPS_IMPLS selects the lowerings to interleave (default "conv,taps";
+"conv,dense" A/Bs the block-diagonal MXU lowering — _DepthwiseDense).
+TAPS_EVAL=0 skips the eval-forward leg.
 """
 import os
 import sys
@@ -20,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
+
+IMPLS = tuple(os.environ.get("TAPS_IMPLS", "conv,taps").split(","))
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -44,7 +50,7 @@ def bench_train():
     }
 
     runs = {}
-    for impl in ("conv", "taps"):
+    for impl in IMPLS:
         model = StackedHourglass(num_stacks=4, num_channels=256,
                                  compute_dtype=jnp.bfloat16, mobile=True,
                                  mobile_depthwise=impl)
@@ -56,9 +62,9 @@ def bench_train():
         float(m["loss"])
         runs[impl] = (step, state)
 
-    results = {"conv": [], "taps": []}
+    results = {i: [] for i in IMPLS}
     for _ in range(6):
-        for impl in ("conv", "taps"):
+        for impl in IMPLS:
             step, state = runs[impl]
             t0 = time.perf_counter()
             for _ in range(10):
@@ -66,7 +72,7 @@ def bench_train():
             float(m["loss"])
             results[impl].append(B * 10 / (time.perf_counter() - t0))
             runs[impl] = (step, state)
-    for impl in ("conv", "taps"):
+    for impl in IMPLS:
         r = sorted(results[impl])
         print(f"mobile train depthwise={impl}: median {r[len(r)//2]:.1f} "
               f"img/s, all {[round(v) for v in results[impl]]}", flush=True)
@@ -78,7 +84,7 @@ def bench_eval_forward():
 
     fns = {}
     variables = None
-    for impl in ("conv", "taps"):
+    for impl in IMPLS:
         model = StackedHourglass(num_stacks=4, num_channels=256,
                                  compute_dtype=jnp.bfloat16, mobile=True,
                                  mobile_depthwise=impl)
@@ -95,16 +101,16 @@ def bench_eval_forward():
         float(f(variables, images, jnp.zeros(())))
         fns[impl] = f
 
-    results = {"conv": [], "taps": []}
+    results = {i: [] for i in IMPLS}
     for _ in range(6):
-        for impl in ("conv", "taps"):
+        for impl in IMPLS:
             prev = jnp.zeros(())
             t0 = time.perf_counter()
             for _ in range(15):
                 prev = fns[impl](variables, images, prev)
             float(prev)
             results[impl].append(B * 15 / (time.perf_counter() - t0))
-    for impl in ("conv", "taps"):
+    for impl in IMPLS:
         r = sorted(results[impl])
         print(f"mobile XLA eval depthwise={impl}: median "
               f"{r[len(r)//2]:.0f} img/s, "

@@ -113,6 +113,49 @@ class _DepthwiseTaps(nn.Module):
         return acc.astype(self.dtype)
 
 
+class _DepthwiseDense(nn.Module):
+    """Depthwise k x k conv computed as a DENSE conv with a block-diagonal
+    kernel: the same ("kernel", (k, k, 1, C)) parameter is scattered onto
+    the diagonal of a (k, k, C, C) kernel at trace time and run through
+    the regular MXU conv path.
+
+    Rationale: the train step is HBM-bound with the MXU at ~27% (PERF.md
+    train-step anatomy), XLA's grouped-conv special case runs off-MXU,
+    and the taps re-lowering (above) loses on HBM re-reads. A dense conv
+    moves the depthwise work onto the idle MXU at the cost of C x more
+    multiply-adds on zeros — free IF the op stays bandwidth-bound. The
+    VJP is exact: the parameter gradient flows back through the eye-mask
+    broadcast, so off-diagonal dense-kernel gradients are discarded and
+    d/dparam equals the grouped conv's. Checkpoints interchange with the
+    other lowerings (identical parameter, same init).
+
+    Measured (v5e, interleaved A/B medians — PERF.md negative-results
+    table): LOSES both ways — mobile train 346.3 vs 421.9 img/s (-18%),
+    mobile XLA eval forward 1,850 vs 2,295 (-19%). At C=256 a dense 3x3
+    conv per separable site is the full standard-model conv cost, and
+    that MXU time serializes with the HBM traffic instead of hiding
+    under it. Kept as a documented negative result; "conv" stays the
+    default.
+    """
+
+    kernel_size: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param("kernel", _KERNEL_INIT, (k, k, 1, C),
+                            jnp.float32)
+        taps = kernel.astype(self.dtype)
+        # (k, k, 1, C) * (C, C) eye -> (k, k, C, C) block-diagonal.
+        dense = taps * jnp.eye(C, dtype=self.dtype)[None, None]
+        x = x.astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x, dense, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class SeparableConv(nn.Module):
     """Keras SeparableConv2D equivalent: depthwise k x k then pointwise 1x1.
 
@@ -122,7 +165,9 @@ class SeparableConv(nn.Module):
     variant (hourglass.py:209-231).
 
     depthwise_impl selects the lowering (parameters are identical):
-    "conv" = feature_group_count grouped conv (default; measured faster),
+    "conv" = feature_group_count grouped conv (default),
+    "dense" = block-diagonal dense conv on the MXU (_DepthwiseDense;
+    measured -18..-19% on v5e — see its docstring),
     "taps" = shifted per-channel multiply-adds (_DepthwiseTaps; measured
     slower on v5e — see its docstring).
     """
@@ -138,6 +183,9 @@ class SeparableConv(nn.Module):
         if self.depthwise_impl == "taps":
             x = _DepthwiseTaps(kernel_size=self.kernel_size,
                                dtype=self.dtype, name="depthwise")(x)
+        elif self.depthwise_impl == "dense":
+            x = _DepthwiseDense(kernel_size=self.kernel_size,
+                                dtype=self.dtype, name="depthwise")(x)
         elif self.depthwise_impl == "conv":
             x = nn.Conv(
                 features=in_features,
@@ -151,7 +199,7 @@ class SeparableConv(nn.Module):
             )(x)
         else:
             raise ValueError(
-                f"depthwise_impl must be 'taps' or 'conv', "
+                f"depthwise_impl must be 'conv', 'dense', or 'taps', "
                 f"got {self.depthwise_impl!r}")
         x = nn.Conv(
             features=self.features,
@@ -198,11 +246,12 @@ class StackedHourglass(nn.Module):
     # Same stored (7, 7, 3, 64) parameter, so checkpoints/weight imports
     # are interchangeable between the two settings.
     front_s2d: bool = False
-    # mobile=True depthwise lowering: "conv" = grouped conv (default —
-    # measured FASTER), "taps" = shifted per-channel multiply-adds
-    # (measured -22..-26% on v5e; kept as a documented negative result —
-    # see _DepthwiseTaps and PERF.md). Parameters are identical either
-    # way; see SeparableConv.
+    # mobile=True depthwise lowering: "conv" = grouped conv (default),
+    # "dense" = block-diagonal dense conv on the MXU (measured -18..-19%
+    # on v5e, _DepthwiseDense), "taps" = shifted per-channel
+    # multiply-adds (measured -22..-26%, _DepthwiseTaps). Both
+    # alternatives are kept as documented negative results — see PERF.md.
+    # Parameters are identical in every mode; see SeparableConv.
     mobile_depthwise: str = "conv"
 
     # ------------------------------------------------------------------

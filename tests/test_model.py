@@ -119,13 +119,14 @@ def test_gradients_flow_to_all_stacks():
         assert float(jnp.abs(g).max()) > 0
 
 
-def test_mobile_depthwise_taps_matches_conv():
-    """The 'taps' depthwise lowering is a drop-in for the grouped conv:
-    identical parameter tree AND init values, and the same forward answer
-    on one set of weights (checkpoints are interchangeable)."""
+@pytest.mark.parametrize("impl", ["taps", "dense"])
+def test_mobile_depthwise_taps_matches_conv(impl):
+    """The alternative depthwise lowerings are drop-ins for the grouped
+    conv: identical parameter tree AND init values, and the same forward
+    answer on one set of weights (checkpoints are interchangeable)."""
     kwargs = dict(num_stacks=2, num_channels=64, mobile=True)
     mc = StackedHourglass(**kwargs, mobile_depthwise="conv")
-    mt = StackedHourglass(**kwargs, mobile_depthwise="taps")
+    mt = StackedHourglass(**kwargs, mobile_depthwise=impl)
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3))
     vc = mc.init(jax.random.PRNGKey(0), x, train=False)
     vt = mt.init(jax.random.PRNGKey(0), x, train=False)
@@ -141,14 +142,17 @@ def test_mobile_depthwise_taps_matches_conv():
                                    atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("impl", ["taps", "dense"])
 @pytest.mark.parametrize("kernel_size", [1, 3])
-def test_mobile_depthwise_taps_grads_match_conv(kernel_size):
-    """The taps lowering trains identically: input and parameter gradients
-    match the grouped-conv formulation on the same weights (same function,
-    so the same VJP — only the lowering differs). Compared at the
-    SeparableConv level, where the two are directly adjacent; the
-    full-model check is the forward test above (train-mode BatchNorm's
-    1/sqrt(var) chains amplify benign summation-order noise)."""
+def test_mobile_depthwise_taps_grads_match_conv(kernel_size, impl):
+    """The alternative lowerings train identically: input and parameter
+    gradients match the grouped-conv formulation on the same weights (same
+    function, so the same VJP — only the lowering differs; for 'dense' the
+    eye-mask broadcast projects the dense-kernel gradient back onto the
+    diagonal). Compared at the SeparableConv level, where the two are
+    directly adjacent; the full-model check is the forward test above
+    (train-mode BatchNorm's 1/sqrt(var) chains amplify benign
+    summation-order noise)."""
     from single_person_pose_estimation_tpu.models.hourglass import (
         SeparableConv,
     )
@@ -156,7 +160,7 @@ def test_mobile_depthwise_taps_grads_match_conv(kernel_size):
     mc = SeparableConv(features=48, kernel_size=kernel_size,
                        depthwise_impl="conv")
     mt = SeparableConv(features=48, kernel_size=kernel_size,
-                       depthwise_impl="taps")
+                       depthwise_impl=impl)
     x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 16, 32))
     ct = jax.random.normal(jax.random.PRNGKey(8), (2, 16, 16, 48))
     v = mc.init(jax.random.PRNGKey(0), x)
@@ -176,13 +180,14 @@ def test_mobile_depthwise_taps_grads_match_conv(kernel_size):
                                    atol=1e-4, rtol=1e-5)
 
 
-def test_mobile_depthwise_taps_bf16():
-    """bf16 compute path of the taps lowering stays within the standard
-    bf16 band of the f32 answer (same check the conv lowering passes)."""
+@pytest.mark.parametrize("impl", ["taps", "dense"])
+def test_mobile_depthwise_taps_bf16(impl):
+    """bf16 compute path of the alternative lowerings stays within the
+    standard bf16 band of the f32 answer (same check 'conv' passes)."""
     m32 = StackedHourglass(num_stacks=1, num_channels=64, mobile=True,
-                           mobile_depthwise="taps")
+                           mobile_depthwise=impl)
     mbf = StackedHourglass(num_stacks=1, num_channels=64, mobile=True,
-                           mobile_depthwise="taps",
+                           mobile_depthwise=impl,
                            compute_dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(9), (1, 64, 64, 3))
     v = m32.init(jax.random.PRNGKey(0), x, train=False)
