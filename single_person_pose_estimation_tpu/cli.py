@@ -9,6 +9,8 @@ This module provides the equivalent operations as subcommands:
     python -m single_person_pose_estimation_tpu.cli train [...]
     python -m single_person_pose_estimation_tpu.cli resume [...]
     python -m single_person_pose_estimation_tpu.cli eval [...]
+    python -m single_person_pose_estimation_tpu.cli export [...]
+    python -m single_person_pose_estimation_tpu.cli serve [...]
     python -m single_person_pose_estimation_tpu.cli bench [...]
 
 Any Config field can be overridden with --set field=value.
@@ -200,6 +202,40 @@ def cmd_serve(args, cfg: Config):
           f"avg batch {stats['avg_batch']:.1f}")
 
 
+def cmd_export(args, cfg: Config):
+    """Deployment export (save_model.ipynb parity + TFLite for edge):
+    checkpoint -> Orbax inference artifact / TF SavedModel / TFLite."""
+    from single_person_pose_estimation_tpu.utils import export as export_lib
+    from single_person_pose_estimation_tpu.utils.model_utils import (
+        load_model_from_checkpoint,
+    )
+
+    model = _build_model(cfg)
+    state, meta = load_model_from_checkpoint(
+        model, cfg.checkpoints_path, best=not args.latest,
+        input_shape=(1, cfg.image_height, cfg.image_width, 3))
+    print(f"Loaded checkpoint meta: {meta}")
+    wrote = []
+    if args.artifact:
+        export_lib.save_inference_artifact(cfg, state.params,
+                                           state.batch_stats, args.artifact)
+        wrote.append(args.artifact)
+    if args.savedmodel:
+        export_lib.export_savedmodel(cfg, state.params, state.batch_stats,
+                                     args.savedmodel,
+                                     batch_size=args.batch_size)
+        wrote.append(args.savedmodel)
+    if args.tflite:
+        size = export_lib.export_tflite(
+            cfg, state.params, state.batch_stats, args.tflite,
+            batch_size=args.batch_size or 1, quantize=args.quantize)
+        wrote.append(f"{args.tflite} ({size} bytes)")
+    if not wrote:
+        raise SystemExit(
+            "nothing to do: pass --artifact, --savedmodel, and/or --tflite")
+    print("Exported:", ", ".join(wrote))
+
+
 def cmd_bench(args, cfg: Config):
     import runpy
 
@@ -251,6 +287,24 @@ def main(argv=None):
                    help="write PREFIX.md + PCK/OKS figures (the artifacts "
                         "the reference publishes as README screenshots)")
     e.set_defaults(fn=cmd_eval)
+
+    x = sub.add_parser("export", help="checkpoint -> deployment artifacts")
+    x.add_argument("--artifact", default=None, metavar="DIR",
+                   help="write an Orbax inference artifact (JAX-native)")
+    x.add_argument("--savedmodel", default=None, metavar="DIR",
+                   help="write a TF SavedModel via jax2tf")
+    x.add_argument("--tflite", default=None, metavar="FILE",
+                   help="write a TFLite flatbuffer (edge deployment; "
+                        "pairs with --set mobile=true)")
+    x.add_argument("--batch-size", type=int, default=1,
+                   help="static batch size (TFLite requires one)")
+    x.add_argument("--quantize", default=None,
+                   choices=["dynamic", "float16"],
+                   help="TFLite quantization (int8 calibration is "
+                        "library-only: utils.export.export_tflite)")
+    x.add_argument("--latest", action="store_true",
+                   help="export the latest instead of the best checkpoint")
+    x.set_defaults(fn=cmd_export)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)

@@ -106,3 +106,83 @@ def export_savedmodel(cfg: Config, params: Any, batch_stats: Any,
     module = tf.Module()
     module.f = tf_fn
     tf.saved_model.save(module, path)
+
+
+def export_tflite(cfg: Config, params: Any, batch_stats: Any, path: str,
+                  batch_size: int = 1, quantize: Optional[str] = None,
+                  representative_images: Any = None) -> int:
+    """Export the inference fn as a TFLite flatbuffer for edge deployment.
+
+    The natural companion of the mobile (separable-conv) variant — the
+    reference ships `mobile=True` (hourglass.py:209-231) precisely for
+    edge targets but provides no on-device export; this closes that loop
+    (save_model.ipynb exports a server-side SavedModel only). Output maps
+    (B, H, W, 3) float images in [0, 1] to the LAST stack's heatmaps.
+
+    quantize:
+      None      — float32 weights and compute.
+      "dynamic" — dynamic-range quantization (int8 weights, float compute;
+                  ~4x smaller, no calibration data needed).
+      "float16" — fp16 weights (GPU-delegate friendly).
+      "int8"    — full-integer weights+activations; requires
+                  `representative_images`, an iterable of (B, H, W, 3)
+                  float arrays in [0, 1] used for activation calibration.
+                  Input/output tensors stay float (quantize/dequantize at
+                  the boundary) so callers keep the same interface.
+
+    Returns the flatbuffer size in bytes. Requires TensorFlow at call
+    time only. Conversion goes through jax2tf graph serialization
+    (native_serialization=False): TFLite consumes plain TF ops, not the
+    XlaCallModule custom call that native serialization emits.
+    """
+    import warnings
+
+    try:
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+    except Exception as e:  # pragma: no cover
+        raise RuntimeError(
+            "export_tflite requires tensorflow + jax2tf installed") from e
+    if quantize not in (None, "dynamic", "float16", "int8"):
+        raise ValueError(
+            f"quantize must be None, 'dynamic', 'float16', or 'int8'; "
+            f"got {quantize!r}")
+    if quantize == "int8" and representative_images is None:
+        raise ValueError(
+            "quantize='int8' needs representative_images for calibration")
+
+    model = _model_from_config(cfg)
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def infer(images):
+        return model.apply(variables, images, train=False)[-1]
+
+    with warnings.catch_warnings():
+        # Graph serialization is deprecated in jax2tf but is the only
+        # lowering TFLite's converter accepts (see docstring).
+        warnings.simplefilter("ignore", DeprecationWarning)
+        tf_fn = tf.function(
+            jax2tf.convert(infer, native_serialization=False),
+            autograph=False,
+            input_signature=[tf.TensorSpec(
+                [batch_size, cfg.image_height, cfg.image_width, 3],
+                tf.float32)])
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [tf_fn.get_concrete_function()], tf_fn)
+    if quantize == "dynamic":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+    elif quantize == "float16":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.target_spec.supported_types = [tf.float16]
+    elif quantize == "int8":
+        import numpy as np
+
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.representative_dataset = lambda: (
+            [np.asarray(img, np.float32)] for img in representative_images)
+        converter.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+    blob = converter.convert()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)

@@ -107,6 +107,55 @@ def test_serve_end_to_end(tmp_path):
         assert np.isfinite(arr).all()
 
 
+def test_export_end_to_end(tmp_path):
+    """cli export: checkpoint -> Orbax artifact + TFLite flatbuffer (the
+    mobile variant's edge-deployment path), plus the no-op error path."""
+    import jax
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("tensorflow")
+    from single_person_pose_estimation_tpu.training import steps
+    from single_person_pose_estimation_tpu.training.checkpoint import (
+        CheckpointManager,
+    )
+    from single_person_pose_estimation_tpu.utils.export import (
+        load_inference_artifact,
+    )
+
+    cfg_sets = ["--set", f"temporary_dir={tmp_path}",
+                "--set", "hg_num_stacks=1", "--set", "hg_num_channels=8",
+                "--set", "image_height=64", "--set", "image_width=64",
+                "--set", "label_height=16", "--set", "label_width=16",
+                "--set", "mobile=true", "--set", "compute_dtype=float32",
+                "--set", "async_checkpointing=false"]
+    cfg = cli._apply_overrides(Config(), [a for a in cfg_sets
+                                          if a != "--set"])
+    model = cli._build_model(cfg)
+    tx = steps.make_optimizer(1e-3)
+    state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                    input_shape=(1, 64, 64, 3))
+    mgr = CheckpointManager(cfg.checkpoints_path, async_checkpointing=False)
+    mgr.save(epoch=1, state=state, meta={"val_loss": 1.0})
+    if hasattr(mgr, "close"):
+        mgr.close()
+
+    artifact = tmp_path / "artifact"
+    tflite = tmp_path / "model.tflite"
+    cli.main(cfg_sets + ["export", "--latest",
+                         "--artifact", str(artifact),
+                         "--tflite", str(tflite),
+                         "--quantize", "dynamic"])
+    assert tflite.stat().st_size > 0
+    model2, _, predict = load_inference_artifact(str(artifact))
+    assert model2.mobile is True
+    y = predict(np.zeros((1, 64, 64, 3), np.float32))
+    assert y.shape == (1, 16, 16, 17)
+
+    with pytest.raises(SystemExit, match="nothing to do"):
+        cli.main(cfg_sets + ["export", "--latest"])
+
+
 def test_build_model_front_s2d_dial():
     """Config.front_s2d: default off (the A/B measured a wash, PERF.md),
     auto = TPU-only (off on the CPU test backend), on/off force the flag,
