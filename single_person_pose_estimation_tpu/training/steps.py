@@ -102,8 +102,14 @@ def make_train_step(
     example_state: Optional["TrainState"] = None,
     model_backend: str = "flax",
     bn_mode: str = "batch",
+    compiler_options: Optional[Dict[str, Any]] = None,
 ):
     """Build the jitted train step.
+
+    compiler_options: optional XLA option overrides forwarded to jax.jit
+    (e.g. {"xla_tpu_scoped_vmem_limit_kib": "65536"}) — an experiment
+    dial; the measured A/B on v5e is in PERF.md (scripts/
+    bench_xla_flags_ab.py). Defaults win; leave unset in production.
 
     model_backend: "flax" (nn.Module.apply + XLA autodiff) or "fused"
     (models.fused_train.fused_train_apply — hand-fused bottleneck
@@ -201,8 +207,10 @@ def make_train_step(
             in_shardings=(state_sh, data),
             out_shardings=(state_sh, repl),
             donate_argnums=(0,),
+            compiler_options=compiler_options,
         )
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,),
+                   compiler_options=compiler_options)
 
 
 def make_eval_step(

@@ -222,3 +222,14 @@ def test_bn_frozen_train_step():
         stats_before, state.batch_stats)  # stats untouched
     with pytest.raises(ValueError, match="bn_mode"):
         steps.make_train_step(model, tx, losses.mse, cfg, bn_mode="bogus")
+
+    # compiler_options plumbs through to jax.jit (the experiment dial
+    # scripts/bench_xla_flags_ab.py drives; TPU-only option NAMES are
+    # backend-validated, so use a CPU-legal option here) and the step
+    # still trains.
+    step_opt = steps.make_train_step(
+        model, tx, losses.weighted_mse, cfg, augment=False,
+        bn_mode="frozen",
+        compiler_options={"xla_backend_optimization_level": "2"})
+    state2, m2 = step_opt(state, batch)
+    assert float(m2["loss"]) <= first
