@@ -139,12 +139,12 @@ def test_pallas_bwd_multiblock_grid():
     from single_person_pose_estimation_tpu.ops.pallas import (
         bottleneck_train_kernel as ker,
     )
-    orig = ker.pick_nimg
-    ker.pick_nimg = lambda *a, **k: 1  # force 4 grid steps
+    orig = ker.resolve_nimg
+    ker.resolve_nimg = lambda *a, **k: 1  # force 4 grid steps
     try:
         got = bg.bottleneck_train_bwd_pallas(res, cot, interpret=True)
     finally:
-        ker.pick_nimg = orig
+        ker.resolve_nimg = orig
     for i, (gv, wv) in enumerate(zip(got, want)):
         np.testing.assert_allclose(
             np.asarray(gv, np.float32), np.asarray(wv, np.float32),
