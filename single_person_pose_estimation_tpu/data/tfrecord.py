@@ -71,14 +71,22 @@ _build_attempted = False
 
 
 def _try_build_native() -> None:
-    """Best-effort build of the C++ extension from native/ (once)."""
+    """Best-effort build of the C++ extension (once).
+
+    The sources ship inside the package (../native relative to this file)
+    so pip-installed copies can build too; the repo-root native/ shim is
+    kept as a fallback for older checkouts."""
     global _build_attempted
     if _build_attempted:
         return
     _build_attempted = True
-    native_dir = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-    makefile = os.path.join(native_dir, "Makefile")
-    if not os.path.exists(makefile):
+    here = os.path.dirname(__file__)
+    candidates = (os.path.join(here, "..", "native"),
+                  os.path.join(here, "..", "..", "native"))
+    native_dir = next((d for d in candidates
+                       if os.path.exists(os.path.join(d, "tfrecord_io.cpp"))),
+                      None)
+    if native_dir is None:
         return
     import subprocess
     try:

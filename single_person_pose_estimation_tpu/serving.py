@@ -225,6 +225,17 @@ class PoseServer:
         self._thread.join()
         self._inflight.put(None)  # wake the resolver after the batcher
         self._resolver.join()
+        # A submit() that passed the _closed check concurrently with this
+        # close() may have enqueued BEHIND the shutdown sentinel, where the
+        # batcher never looks. Fail those futures explicitly rather than
+        # leaving their callers blocked forever.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("server is closed"))
 
     def __enter__(self):
         return self

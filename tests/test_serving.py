@@ -92,6 +92,27 @@ def test_close_rejects_new_requests(served):
         server.submit(img)
 
 
+def test_close_fails_requests_racing_past_the_sentinel():
+    """A submit() that passes the _closed check concurrently with close()
+    can enqueue BEHIND the shutdown sentinel; close() must fail its future
+    rather than leave the caller blocked forever."""
+    model = StackedHourglass(num_stacks=1, num_channels=16)
+    variables = model.init(jax.random.PRNGKey(5),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    server = PoseServer(model, variables["params"],
+                        variables["batch_stats"], buckets=(1, 2),
+                        use_fused=False, transfer_dtype="float32")
+    # Simulate the race deterministically: retire the batcher as if it had
+    # consumed close()'s sentinel, THEN let a straggler submit slip in
+    # (_closed is still False, so the check passes — the real interleaving).
+    server._queue.put(None)
+    server._thread.join()
+    fut = server.submit(np.zeros((64, 64, 3), np.float32))
+    server.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        fut.result(timeout=10)
+
+
 def test_bad_bucket_config():
     model = StackedHourglass(num_stacks=1, num_channels=16)
     variables = model.init(jax.random.PRNGKey(5),
