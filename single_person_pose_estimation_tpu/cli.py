@@ -112,6 +112,15 @@ def cmd_eval(args, cfg: Config):
         load_model_from_checkpoint,
     )
 
+    if args.report:
+        # Fail before the (long) evaluation, not after it when the report
+        # writer first imports matplotlib.
+        try:
+            import matplotlib  # noqa: F401
+        except ImportError:
+            raise SystemExit(
+                "--report needs matplotlib (pip install "
+                "'single-person-pose-estimation-tpu[report]')")
     model = _build_model(cfg)
     state, meta = load_model_from_checkpoint(
         model, cfg.checkpoints_path, best=not args.latest,
@@ -210,6 +219,11 @@ def cmd_export(args, cfg: Config):
         load_model_from_checkpoint,
     )
 
+    if not (args.artifact or args.savedmodel or args.tflite):
+        # Validate before the model build + checkpoint restore (minutes
+        # through a remote-TPU tunnel), not after.
+        raise SystemExit(
+            "nothing to do: pass --artifact, --savedmodel, and/or --tflite")
     model = _build_model(cfg)
     state, meta = load_model_from_checkpoint(
         model, cfg.checkpoints_path, best=not args.latest,
@@ -230,9 +244,6 @@ def cmd_export(args, cfg: Config):
             cfg, state.params, state.batch_stats, args.tflite,
             batch_size=args.batch_size or 1, quantize=args.quantize)
         wrote.append(f"{args.tflite} ({size} bytes)")
-    if not wrote:
-        raise SystemExit(
-            "nothing to do: pass --artifact, --savedmodel, and/or --tflite")
     print("Exported:", ", ".join(wrote))
 
 
@@ -296,8 +307,10 @@ def main(argv=None):
     x.add_argument("--tflite", default=None, metavar="FILE",
                    help="write a TFLite flatbuffer (edge deployment; "
                         "pairs with --set mobile=true)")
-    x.add_argument("--batch-size", type=int, default=1,
-                   help="static batch size (TFLite requires one)")
+    x.add_argument("--batch-size", type=int, default=None,
+                   help="static batch size; omit for a polymorphic-batch "
+                        "SavedModel (TFLite always needs one and "
+                        "defaults to 1)")
     x.add_argument("--quantize", default=None,
                    choices=["dynamic", "float16"],
                    help="TFLite quantization (int8 calibration is "

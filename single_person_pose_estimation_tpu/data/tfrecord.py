@@ -149,6 +149,7 @@ class TFRecordWriter:
 
 
 def _iter_records_python(path: str, verify_crc: bool) -> Iterator[bytes]:
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
         while True:
             header = f.read(12)
@@ -161,6 +162,11 @@ def _iter_records_python(path: str, verify_crc: bool) -> Iterator[bytes]:
                 (crc,) = struct.unpack("<I", header[8:12])
                 if masked_crc32c(header[:8]) != crc:
                     raise IOError(f"length CRC mismatch in {path}")
+            # Bounds-check the untrusted length BEFORE read(): a hostile
+            # length near 2^64 (its CRC is computable by anyone) would
+            # otherwise overflow read()'s index argument.
+            if length > size - f.tell():
+                raise IOError(f"truncated record in {path}")
             data = f.read(length)
             footer = f.read(4)
             if len(data) < length or len(footer) < 4:

@@ -141,7 +141,14 @@ void* tfrec_open(const char* path) {
     uint32_t len_crc;
     memcpy(&len_crc, f->base + pos + 8, 4);
     if (masked_crc(f->base + pos, 8) != len_crc) goto corrupt;
-    if (pos + 12 + (int64_t)len + 4 > f->size) goto corrupt;
+    {
+      // Overflow-proof bounds check: `len` is untrusted (CRC32C is not
+      // cryptographic), and `pos + 12 + (int64_t)len + 4` can wrap for
+      // len near 2^64, passing a naive comparison and sending the
+      // data-CRC memcpy below out of the mapping.
+      int64_t remaining = f->size - pos - 12;  // >= 0 by the loop condition
+      if (remaining < 4 || len > (uint64_t)(remaining - 4)) goto corrupt;
+    }
     {
       uint32_t data_crc;
       memcpy(&data_crc, f->base + pos + 12 + len, 4);

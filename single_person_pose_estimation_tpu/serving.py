@@ -120,6 +120,10 @@ class PoseServer:
         self._served = 0
         self._steps = 0
         self._lock = threading.Lock()
+        # Makes submit()'s closed-check + enqueue atomic against close()
+        # flipping _closed, so no request can slip in after close() has
+        # drained the queue (its future would never resolve).
+        self._close_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._resolver = threading.Thread(target=self._resolve_loop,
                                           daemon=True)
@@ -186,10 +190,12 @@ class PoseServer:
     def submit(self, image: np.ndarray) -> Future:
         """Enqueue one (H, W, 3) float image in [0, 1]; resolves to a
         (K, 3) float32 array of x, y, confidence in heatmap units."""
-        if self._closed:
-            raise RuntimeError("server is closed")
-        fut: Future = Future()
-        self._queue.put((self._to_wire(image), fut, time.perf_counter()))
+        wire = self._to_wire(image)  # convert outside the lock
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            fut: Future = Future()
+            self._queue.put((wire, fut, time.perf_counter()))
         return fut
 
     def predict(self, images: np.ndarray) -> np.ndarray:
@@ -213,9 +219,13 @@ class PoseServer:
             }
 
     def close(self):
-        if self._closed:
-            return
-        self._closed = True
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            # Under the lock no submit() can now enqueue: anything in the
+            # queue precedes the sentinel below and the batcher will serve
+            # it before terminating.
         self._queue.put(None)  # wake the batcher
         # Join WITHOUT a timeout: a timed-out join here would enqueue the
         # resolver sentinel ahead of a still-in-flight batch (e.g. one
@@ -225,10 +235,10 @@ class PoseServer:
         self._thread.join()
         self._inflight.put(None)  # wake the resolver after the batcher
         self._resolver.join()
-        # A submit() that passed the _closed check concurrently with this
-        # close() may have enqueued BEHIND the shutdown sentinel, where the
-        # batcher never looks. Fail those futures explicitly rather than
-        # leaving their callers blocked forever.
+        # Safety net: _close_lock guarantees no submit() enqueues after
+        # _closed flips, but if the batcher died abnormally (exception,
+        # test harness retiring it) requests may still sit in the queue.
+        # Fail their futures rather than leave callers blocked forever.
         while True:
             try:
                 item = self._queue.get_nowait()

@@ -76,19 +76,16 @@ def load_inference_artifact(path: str) -> Tuple[StackedHourglass, Dict, Callable
     return model, variables, predict
 
 
-def export_savedmodel(cfg: Config, params: Any, batch_stats: Any,
-                      path: str, batch_size: Optional[int] = None) -> None:
-    """jax2tf the inference fn into a TF SavedModel (save_model.ipynb
-    parity for TF-serving stacks). Requires TensorFlow at call time only.
-
-    batch_size None -> polymorphic batch dimension.
-    """
+def _tf_infer_fn(cfg: Config, params: Any, batch_stats: Any, caller: str):
+    """Shared TF-export scaffolding: import TF/jax2tf (call-time-only
+    dependency) and build the (B, H, W, 3) float -> last-stack-heatmaps
+    inference closure every exported artifact wraps."""
     try:
         import tensorflow as tf
         from jax.experimental import jax2tf
     except Exception as e:  # pragma: no cover
         raise RuntimeError(
-            "export_savedmodel requires tensorflow + jax2tf installed") from e
+            f"{caller} requires tensorflow + jax2tf installed") from e
 
     model = _model_from_config(cfg)
     variables = {"params": params, "batch_stats": batch_stats}
@@ -96,6 +93,18 @@ def export_savedmodel(cfg: Config, params: Any, batch_stats: Any,
     def infer(images):
         return model.apply(variables, images, train=False)[-1]
 
+    return tf, jax2tf, infer
+
+
+def export_savedmodel(cfg: Config, params: Any, batch_stats: Any,
+                      path: str, batch_size: Optional[int] = None) -> None:
+    """jax2tf the inference fn into a TF SavedModel (save_model.ipynb
+    parity for TF-serving stacks). Requires TensorFlow at call time only.
+
+    batch_size None -> polymorphic batch dimension.
+    """
+    tf, jax2tf, infer = _tf_infer_fn(cfg, params, batch_stats,
+                                     "export_savedmodel")
     poly = None if batch_size is not None else "(b, ...)"
     tf_fn = tf.function(
         jax2tf.convert(infer, polymorphic_shapes=[poly] if poly else None),
@@ -137,12 +146,6 @@ def export_tflite(cfg: Config, params: Any, batch_stats: Any, path: str,
     """
     import warnings
 
-    try:
-        import tensorflow as tf
-        from jax.experimental import jax2tf
-    except Exception as e:  # pragma: no cover
-        raise RuntimeError(
-            "export_tflite requires tensorflow + jax2tf installed") from e
     if quantize not in (None, "dynamic", "float16", "int8"):
         raise ValueError(
             f"quantize must be None, 'dynamic', 'float16', or 'int8'; "
@@ -150,13 +153,8 @@ def export_tflite(cfg: Config, params: Any, batch_stats: Any, path: str,
     if quantize == "int8" and representative_images is None:
         raise ValueError(
             "quantize='int8' needs representative_images for calibration")
-
-    model = _model_from_config(cfg)
-    variables = {"params": params, "batch_stats": batch_stats}
-
-    def infer(images):
-        return model.apply(variables, images, train=False)[-1]
-
+    tf, jax2tf, infer = _tf_infer_fn(cfg, params, batch_stats,
+                                     "export_tflite")
     with warnings.catch_warnings():
         # Graph serialization is deprecated in jax2tf but is the only
         # lowering TFLite's converter accepts (see docstring).

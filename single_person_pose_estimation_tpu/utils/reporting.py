@@ -8,9 +8,10 @@ artifacts programmatically from `evaluation.oks.eval_oks` stats and
 figures, so `cli eval --report PREFIX` leaves committed-quality evidence
 of a run instead of notebook screenshots.
 
-Matplotlib is imported lazily and the Agg backend is forced for the
-figure writers, so reports work on headless hosts (TPU VMs have no
-display).
+Matplotlib is imported lazily and the figure writers build Figure +
+FigureCanvasAgg objects directly (never touching pyplot or the global
+backend), so reports work on headless hosts (TPU VMs have no display)
+without hijacking an interactive session's backend.
 """
 
 from __future__ import annotations
@@ -56,10 +57,12 @@ def eval_report_markdown(oks_stats: Optional[Sequence[float]],
 
 
 def _agg_figure(width: float, height: float):
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    return plt.figure(figsize=(width, height))
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
+
+    fig = Figure(figsize=(width, height))
+    FigureCanvasAgg(fig)  # attaches itself as fig.canvas (savefig target)
+    return fig
 
 
 def save_pck_figure(pck_stats: Sequence[float],
@@ -81,8 +84,6 @@ def save_pck_figure(pck_stats: Sequence[float],
                 ha="center", va="bottom", fontsize=8)
     fig.tight_layout()
     fig.savefig(path, dpi=120)
-    import matplotlib.pyplot as plt
-    plt.close(fig)
     return path
 
 
@@ -102,8 +103,6 @@ def save_oks_figure(oks_stats: Sequence[float], path: str) -> str:
                 ha="center", va="bottom", fontsize=8)
     fig.tight_layout()
     fig.savefig(path, dpi=120)
-    import matplotlib.pyplot as plt
-    plt.close(fig)
     return path
 
 

@@ -9,7 +9,14 @@ pip-installed copies can build the fast TFRecord reader
 (data/tfrecord.py::_try_build_native)."""
 
 import os
-import tomllib
+
+try:
+    import tomllib  # Python >= 3.11
+except ImportError:  # pragma: no cover - 3.10 floor (requires-python)
+    import pytest
+
+    tomllib = pytest.importorskip(
+        "tomli", reason="pyproject parsing needs tomllib (3.11+) or tomli")
 
 import single_person_pose_estimation_tpu as spe
 

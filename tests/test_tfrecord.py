@@ -105,6 +105,26 @@ def test_corrupt_record_rejected(tmp_path):
             list(tfrecord._iter_records_python(path, verify_crc=True))
 
 
+def test_hostile_length_field_rejected_not_segfault(tmp_path):
+    """A record whose length field is near 2^64 but carries a VALID
+    length-CRC (CRC32C is not cryptographic — anyone can compute it) must
+    be rejected as corrupt, not wrap the native reader's signed bounds
+    check and read outside the mmap (tfrecord_io.cpp bounds guard)."""
+    import struct
+
+    path = str(tmp_path / "hostile.tfrec")
+    length = struct.pack("<Q", 0xFFFFFFFFFFFFFFF0)
+    with open(path, "wb") as f:
+        f.write(length)
+        f.write(struct.pack("<I", tfrecord.masked_crc32c(length)))
+        f.write(b"\x00" * 64)  # some trailing bytes to walk into
+    if tfrecord.native_available():
+        with pytest.raises(IOError):
+            tfrecord.TFRecordReader(path)
+    with pytest.raises(IOError):
+        list(tfrecord._iter_records_python(path, verify_crc=True))
+
+
 def test_shard_filename_convention(tmp_path):
     d = str(tmp_path / "train")
     name = tfrecord.shard_filename(d, 3, 2048)
