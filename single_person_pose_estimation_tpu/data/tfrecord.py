@@ -98,7 +98,11 @@ def _try_build_native() -> None:
 
 def _load_native() -> Optional[ctypes.CDLL]:
     global _native
-    if _native is None and not os.path.exists(_NATIVE_PATH):
+    if _native is None:
+        # Always run the (incremental) make once per process: it is a no-op
+        # when the .so is current and REBUILDS one that is older than its
+        # source — otherwise a checkout that built before a reader fix
+        # would keep loading the stale library forever.
         _try_build_native()
     if _native is None and os.path.exists(_NATIVE_PATH):
         lib = ctypes.CDLL(_NATIVE_PATH)
