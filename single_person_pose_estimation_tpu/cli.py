@@ -51,8 +51,13 @@ def _build_model(cfg: Config):
 
     if cfg.front_s2d not in ("auto", "on", "off"):
         raise ValueError(f"front_s2d must be auto/on/off: {cfg.front_s2d!r}")
+    even = cfg.image_height % 2 == 0 and cfg.image_width % 2 == 0
+    if cfg.front_s2d == "on" and not even:
+        raise ValueError(
+            "front_s2d needs even image dimensions (the 2x2 space-to-depth "
+            f"blocking), got {cfg.image_height}x{cfg.image_width}")
     front_s2d = (cfg.front_s2d == "on"
-                 or (cfg.front_s2d == "auto"
+                 or (cfg.front_s2d == "auto" and even
                      and jax.default_backend() == "tpu"))
     return StackedHourglass(
         num_classes=cfg.num_keypoints,

@@ -118,7 +118,9 @@ class Config:
     # Pre-resize person crops to this square size at ETL time (0 = store
     # the native crop resolution, the reference's gen_tfrecords behavior).
     # Keypoints are stored scaled into the resized frame, so the training
-    # pipeline is unchanged — but the host then decodes record_size^2
+    # pipeline is unchanged; evaluation recovers the true square-crop side
+    # from original_bbox for its un-crop mapping (pipeline.py
+    # _parse_prediction_example) — but the host then decodes record_size^2
     # JPEGs instead of native-size crops, and the host input stage is the
     # end-to-end train-loop bound on small hosts (PERF.md, from-records).
     record_image_size: int = 0
@@ -146,6 +148,23 @@ class Config:
     temporary_dir: str = "temp"
 
     # ------------------------------------------------------------------
+    def __post_init__(self):
+        # Validate the string-enum fields consumed by `== "..."` checks
+        # downstream — a typo ('unit8', 'bf16') would otherwise silently
+        # select the fallback path instead of erroring.
+        _enums = {
+            "train_transfer_dtype": ("float32", "uint8"),
+            "compute_dtype": ("float32", "bfloat16"),
+            "param_dtype": ("float32", "bfloat16"),
+            "front_s2d": ("off", "auto", "on"),
+            "hm_activation": ("sigmoid", "linear", "relu"),
+        }
+        for field, allowed in _enums.items():
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(
+                    f"config.{field} must be one of {allowed}, got {v!r}")
+
     @property
     def image_shape(self) -> Tuple[int, int, int]:
         return (self.image_height, self.image_width, 3)

@@ -21,7 +21,7 @@ import glob
 import os
 import queue
 import threading
-from typing import Dict, Iterator, List, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -87,6 +87,21 @@ def _parse_prediction_example(record: bytes, config: Config):
         arr[:min(K, len(vals))] = vals[:K]
         return arr
 
+    # Un-crop geometry. Normally the stored crop IS the square bbox, so
+    # width/height double as the square side. Records written with
+    # config.record_image_size > 0 store the crop RESIZED to that side
+    # (keypoints rescaled with it) while bbox_x/bbox_y stay in original-
+    # image pixels — for those, recover the true square side from
+    # original_bbox (same transform_bbox_square math as the ETL) or the
+    # un-crop mapping compresses every coordinate by resized/true.
+    stored_w, stored_h = int(ex["width"][0]), int(ex["height"][0])
+    bbox_w, bbox_h = stored_w, stored_h
+    original_bbox = np.asarray(ex.get("original_bbox", [0, 0, 0, 0]),
+                               dtype=np.float32)
+    side = int(max(original_bbox[2], original_bbox[3]) * config.bbox_scale)
+    if side > 0 and (side, side) != (stored_w, stored_h):
+        bbox_w, bbox_h = side, side
+
     meta = {
         "ann_id": int(ex["ann_id"][0]),
         "image_id": int(ex["image_id"][0]),
@@ -96,10 +111,11 @@ def _parse_prediction_example(record: bytes, config: Config):
         "keypoints/vis": fixed(ex.get("keypoints/vis", []), np.int64),
         "bbox_x": float(ex["bbox_x"][0]),
         "bbox_y": float(ex["bbox_y"][0]),
-        "bbox_w": int(ex["width"][0]),   # crop == square bbox size
-        "bbox_h": int(ex["height"][0]),
-        "original_bbox": np.asarray(ex.get("original_bbox", [0, 0, 0, 0]),
-                                    dtype=np.float32),
+        "bbox_w": bbox_w,                # true square bbox side
+        "bbox_h": bbox_h,
+        "frame_w": stored_w,             # frame the keypoints are stored in
+        "frame_h": stored_h,
+        "original_bbox": original_bbox,
     }
     return img.astype(np.float32), meta
 
@@ -133,9 +149,11 @@ class _Prefetcher:
 
     _SENTINEL = object()
 
-    def __init__(self, it: Iterator, depth: int = 4):
+    def __init__(self, it: Iterator, depth: int = 4, on_stop=None):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
+        self._on_stop = on_stop  # e.g. ThreadPoolExecutor.shutdown
         self._thread = threading.Thread(target=self._run, args=(it,),
                                         daemon=True)
         self._thread.start()
@@ -151,11 +169,27 @@ class _Prefetcher:
                         continue
                 if self._stop.is_set():
                     return
+        except BaseException as e:
+            # Surface producer failures (corrupt record, decode error) to
+            # the consumer instead of masquerading as a clean end-of-data
+            # StopIteration — a silently truncated "infinite" train
+            # iterator would end the training loop with no diagnostic.
+            self._error = e
         finally:
-            try:
-                self._q.put_nowait(self._SENTINEL)
-            except queue.Full:
-                pass
+            # Deliver the sentinel even against a full queue (put_nowait
+            # would drop it and the consumer would block forever once the
+            # buffered items drain); give up only if the consumer closed.
+            while not self._stop.is_set():
+                try:
+                    self._q.put(self._SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            if self._on_stop is not None:
+                try:
+                    self._on_stop()
+                except Exception:
+                    pass
 
     def close(self) -> None:
         self._stop.set()
@@ -169,6 +203,9 @@ class _Prefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._SENTINEL:
+            if self._error is not None:
+                raise RuntimeError(
+                    "data pipeline producer failed") from self._error
             raise StopIteration
         return item
 
@@ -249,10 +286,15 @@ class DatasetBuilder:
         workers = getattr(cfg, "host_workers", 0) or max(
             1, min(4, (os.cpu_count() or 1) - 1))
         pool = None
+        on_stop = None
         if workers > 1:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(workers,
                                       thread_name_prefix="spe-decode")
+            # Reap the decode workers when the iterator stops (close(),
+            # GC, or natural end) — otherwise every build_datasets() call
+            # leaks `workers` idle threads for the process lifetime.
+            on_stop = lambda: pool.shutdown(wait=False, cancel_futures=True)
 
         def gen():
             # Batch *within* an epoch then repeat — matching the reference's
@@ -279,7 +321,7 @@ class DatasetBuilder:
                 if not repeat:
                     return
 
-        return _Prefetcher(gen())
+        return _Prefetcher(gen(), on_stop=on_stop)
 
     def build_datasets(self):
         """(train, valid) batch iterators. Train: shard+buffer shuffled,

@@ -33,34 +33,23 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
     kernels, +52% measured: 3,444 vs 2,260 img/s,
     scripts/bench_mobile_fused.py). "auto" = on TPU with a 2-byte
     compute dtype; the flax path is the fallback everywhere else."""
+    from single_person_pose_estimation_tpu.models.fused_inference import (
+        auto_use_fused,
+        forward_last_stack,
+    )
+
     auto = use_fused == "auto"
-    mobile = bool(getattr(model, "mobile", False))
     if auto:
-        # 2-byte compute dtypes only: the fused kernels' VMEM blocking is
-        # tuned for bf16 — at f32 the 64px level exceeds the 16 MB scoped
-        # VMEM limit (measured on v5e; scripts/validate_fused_tpu.py).
-        use_fused = (jax.default_backend() == "tpu"
-                     and jnp.dtype(model.compute_dtype).itemsize == 2)
+        use_fused = auto_use_fused(model)
 
     @jax.jit
     def fn(params, batch_stats, images):
         variables = {"params": params, "batch_stats": batch_stats}
-        # At 512^2 inputs the fused path measured -12% vs XLA (the extra
-        # 128px level stays on XLA above fuse_max_h and the fusable tail
-        # shrinks; scripts/sweep_fused_generalization.py) — auto falls
-        # back to the flax path there. Explicit use_fused=True overrides.
-        if use_fused and not (auto and images.shape[1] > 256):
-            from single_person_pose_estimation_tpu.models.fused_inference import (
-                fused_apply,
-            )
-            hms = fused_apply(variables, images,
-                              num_stacks=model.num_stacks,
-                              compute_dtype=model.compute_dtype,
-                              fuse_levels=True, pool_fuse_max_h=32,
-                              fuse_heads=True, mobile=mobile,
-                              interpret=interpret)[-1]
-        else:
-            hms = model.apply(variables, images, train=False)[-1]
+        # Backend policy (fused vs flax, incl. the auto >256px fallback)
+        # is shared with serving.PoseServer via forward_last_stack.
+        hms = forward_last_stack(model, variables, images,
+                                 use_fused=use_fused, auto=auto,
+                                 interpret=interpret)
         if version == 1:
             dec = partial(decode_v1, conf_threshold=conf_threshold)
         else:
@@ -106,8 +95,14 @@ def predict_ds(
             bh = int(meta["bbox_h"])
             bx = float(meta["bbox_x"])
             by = float(meta["bbox_y"])
-            xs_gt = np.asarray(meta["keypoints/x"], np.float64) / bw
-            ys_gt = np.asarray(meta["keypoints/y"], np.float64) / bh
+            # GT keypoints are stored in the crop's STORED frame, which is
+            # the square bbox unless the record was written pre-resized
+            # (record_image_size) — normalize by the frame, un-crop by the
+            # true bbox (see _parse_prediction_example).
+            fw = int(meta.get("frame_w", bw))
+            fh = int(meta.get("frame_h", bh))
+            xs_gt = np.asarray(meta["keypoints/x"], np.float64) / fw
+            ys_gt = np.asarray(meta["keypoints/y"], np.float64) / fh
 
             predictions.append({
                 "xs/pred": (xs_pred * bw + bx).astype(float).tolist(),

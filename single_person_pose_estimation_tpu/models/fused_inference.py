@@ -419,3 +419,42 @@ def fused_apply(variables: Any, images: jnp.ndarray, num_stacks: int = 4,
                            name + "_conv_1x1_3")
                 y = h2 + hm + y
     return outputs
+
+
+# ---------------------------------------------------------------------------
+# Backend-selection policy (single source: serving.PoseServer and
+# evaluation.predict both route through these — keep the tuning here).
+# ---------------------------------------------------------------------------
+
+# Above this input size the auto backend falls back to the flax model:
+# fused measured -12% at 512^2 (every flag combo loses there — XLA<->Pallas
+# boundary costs at the 128px levels; scripts/sweep_fused_generalization.py
+# + scripts/ablate_fused_512.py). Explicit use_fused=True overrides.
+FUSED_AUTO_MAX_INPUT = 256
+
+
+def auto_use_fused(model) -> bool:
+    """The "auto" backend policy: fused kernels on TPU with a 2-byte
+    compute dtype. At f32 the fused kernels' VMEM blocking exceeds the
+    scoped limit at the 64px level (measured on v5e,
+    scripts/validate_fused_tpu.py); everywhere else flax+XLA wins."""
+    import jax
+
+    return (jax.default_backend() == "tpu"
+            and jnp.dtype(model.compute_dtype).itemsize == 2)
+
+
+def forward_last_stack(model, variables, images, *, use_fused: bool,
+                       auto: bool, interpret: bool = False):
+    """Shared inference forward: last stack's heatmaps via the fused path,
+    or flax when disabled / when auto mode hits the >FUSED_AUTO_MAX_INPUT
+    fallback. `auto` says whether use_fused came from auto_use_fused (only
+    then does the size fallback apply — an explicit True is honored)."""
+    if use_fused and not (auto and images.shape[1] > FUSED_AUTO_MAX_INPUT):
+        return fused_apply(variables, images, num_stacks=model.num_stacks,
+                           compute_dtype=model.compute_dtype,
+                           fuse_levels=True, pool_fuse_max_h=32,
+                           fuse_heads=True,
+                           mobile=bool(getattr(model, "mobile", False)),
+                           interpret=interpret)[-1]
+    return model.apply(variables, images, train=False)[-1]

@@ -98,10 +98,10 @@ class PoseServer:
         self._interpret = interpret
         self._fused_auto = use_fused == "auto"
         if self._fused_auto:
-            # bf16/f16 only — at f32 the fused kernels exceed the scoped
-            # VMEM limit at the 64px level (scripts/validate_fused_tpu.py).
-            use_fused = (jax.default_backend() == "tpu"
-                         and jnp.dtype(model.compute_dtype).itemsize == 2)
+            from single_person_pose_estimation_tpu.models.fused_inference import (
+                auto_use_fused,
+            )
+            use_fused = auto_use_fused(model)
         self._use_fused = bool(use_fused)
         self._mesh = mesh
         if transfer_dtype not in ("uint8", "bfloat16", "float32"):
@@ -135,20 +135,16 @@ class PoseServer:
     # ------------------------------------------------------------------
 
     def _forward(self, variables, images):
-        # auto mode falls back to flax at >256px inputs: fused measured
-        # -12% at 512^2 (scripts/sweep_fused_generalization.py).
-        if self._use_fused and not (self._fused_auto
-                                    and images.shape[1] > 256):
-            from single_person_pose_estimation_tpu.models.fused_inference import (
-                fused_apply,
-            )
-            return fused_apply(
-                variables, images, num_stacks=self._model.num_stacks,
-                compute_dtype=self._model.compute_dtype,
-                fuse_levels=True, pool_fuse_max_h=32, fuse_heads=True,
-                mobile=bool(getattr(self._model, "mobile", False)),
-                interpret=self._interpret)[-1]
-        return self._model.apply(variables, images, train=False)[-1]
+        # Backend policy (incl. the auto >256px flax fallback) lives in
+        # models/fused_inference.forward_last_stack — one source for
+        # serving and evaluation.predict.
+        from single_person_pose_estimation_tpu.models.fused_inference import (
+            forward_last_stack,
+        )
+        return forward_last_stack(self._model, variables, images,
+                                  use_fused=self._use_fused,
+                                  auto=self._fused_auto,
+                                  interpret=self._interpret)
 
     def _step_impl(self, variables, images):
         if images.dtype == jnp.uint8:

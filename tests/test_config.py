@@ -57,3 +57,16 @@ def test_paths():
     cfg = Config()
     assert cfg.train_tfrecords_dir == "dataset/tfrecords/train"
     assert cfg.checkpoints_path == "temp/checkpoints"
+
+
+def test_config_rejects_bad_enum_values():
+    """Typos in the string-enum fields must error at construction, not
+    silently select a fallback path (e.g. 'unit8' losing the uint8 wire)."""
+    import pytest
+
+    for field, bad in [("train_transfer_dtype", "unit8"),
+                       ("compute_dtype", "bf16"),
+                       ("front_s2d", "yes"),
+                       ("hm_activation", "softmax")]:
+        with pytest.raises(ValueError, match=field):
+            Config().replace(**{field: bad})

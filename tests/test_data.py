@@ -278,3 +278,97 @@ def test_record_image_size_end_to_end_pipeline(mini_cfg, tmp_path):
     # crop->128->256; contents agree only loosely on noise images, but
     # shapes and range must match.
     assert np.asarray(b["image"]).shape == np.asarray(a["image"]).shape
+
+
+def test_record_image_size_eval_uncrop(mini_cfg):
+    """Pre-resized records must evaluate correctly: the prediction meta
+    carries the TRUE square-crop side (recovered from original_bbox) for
+    the un-crop mapping, while GT keypoints normalize by the stored frame.
+    A GT point must round-trip back to its original-image coordinates."""
+    exs = coco.load_person_examples(mini_cfg.train_annot_file, 5)
+    ex = exs[0]
+    img = np.zeros((ex.height, ex.width, 3), np.uint8)
+    feats = coco.build_example_features(img, ex, mini_cfg.bbox_scale,
+                                        record_size=128)
+    from single_person_pose_estimation_tpu.data import example_codec
+    rec = example_codec.encode_example(feats)
+    _, meta = pipeline._parse_prediction_example(rec, mini_cfg)
+
+    sq = coco.transform_bbox_square_np(ex.bbox, mini_cfg.bbox_scale)
+    assert meta["bbox_w"] == int(sq[2]) and meta["bbox_h"] == int(sq[3])
+    assert meta["frame_w"] == 128 and meta["frame_h"] == 128
+
+    # Round-trip the first visible GT keypoint to original-image coords
+    # through the predict_ds mapping (normalize by frame, scale by bbox).
+    k = next(i for i, v in enumerate(meta["keypoints/vis"]) if v > 0)
+    x_orig = ex.keypoints[3 * k]
+    got = (meta["keypoints/x"][k] / meta["frame_w"]) * meta["bbox_w"] \
+        + meta["bbox_x"]
+    # int truncations in the crop + the 128px quantization bound the error.
+    assert abs(got - x_orig) <= sq[2] / 128 + 1.0, (got, x_orig)
+
+    # Native-resolution records keep the old identity (bbox == frame).
+    feats_n = coco.build_example_features(img, ex, mini_cfg.bbox_scale)
+    _, meta_n = pipeline._parse_prediction_example(
+        example_codec.encode_example(feats_n), mini_cfg)
+    assert meta_n["bbox_w"] == meta_n["frame_w"] == int(sq[2])
+
+
+def test_prefetcher_propagates_producer_error():
+    """A failing producer (corrupt record, decode error) must surface to
+    the consumer, not masquerade as a clean end-of-data StopIteration
+    that silently ends an 'infinite' train loop."""
+
+    def bad_gen():
+        yield 1
+        raise ValueError("corrupt JPEG")
+
+    pf = pipeline._Prefetcher(bad_gen())
+    assert next(pf) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(pf)
+
+
+def test_prefetcher_delivers_sentinel_against_full_queue():
+    """End-of-data with a full queue: the sentinel must still arrive once
+    the consumer drains (put_nowait used to drop it -> consumer hang)."""
+    import threading
+
+    pf = pipeline._Prefetcher(iter(range(8)), depth=2)
+    got = []
+    done = threading.Event()
+
+    def consume():
+        got.extend(pf)
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert done.wait(timeout=30), "consumer hung waiting for the sentinel"
+    assert got == list(range(8))
+
+
+def test_builder_close_reaps_decode_workers(mini_cfg):
+    """it.close() must shut down the per-iterator decode thread pool, not
+    leak 'spe-decode' threads for the process lifetime."""
+    import threading
+    import time
+
+    coco.gen_trainval_records(mini_cfg)
+    cfg = mini_cfg.replace(host_workers=2)
+    builder = pipeline.DatasetBuilder(cfg)
+    train_it, valid_it = builder.build_datasets()
+    next(train_it)
+    assert any(t.name.startswith("spe-decode")
+               for t in threading.enumerate())
+    train_it.close()
+    valid_it.close()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if not any(t.name.startswith("spe-decode") and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        time.sleep(0.2)
+    leaked = [t.name for t in threading.enumerate()
+              if t.name.startswith("spe-decode") and t.is_alive()]
+    assert not leaked, leaked
