@@ -168,9 +168,9 @@ def cmd_eval(args, cfg: Config):
 
 
 def cmd_serve(args, cfg: Config):
-    """Serve pose estimation over a directory of images (a smoke-level
-    stand-in for a network front end: same PoseServer core a real
-    deployment would wrap)."""
+    """Serve pose estimation: over HTTP (--http PORT: POST /predict with
+    image bytes, GET /healthz, GET /stats — serving_http.HttpPoseService)
+    or as a one-shot batch over a directory of images."""
     import glob as globlib
 
     import numpy as np
@@ -180,6 +180,8 @@ def cmd_serve(args, cfg: Config):
         load_model_from_checkpoint,
     )
 
+    if args.http is None and not args.images:
+        raise SystemExit("pass --images GLOB or --http PORT")
     model = _build_model(cfg)
     state, meta = load_model_from_checkpoint(
         model, cfg.checkpoints_path, best=not args.latest,
@@ -189,6 +191,26 @@ def cmd_serve(args, cfg: Config):
                         buckets=tuple(args.buckets),
                         transfer_dtype=args.transfer_dtype)
     server.warmup(image_shape=(cfg.image_height, cfg.image_width, 3))
+    if args.http is not None:
+        from single_person_pose_estimation_tpu.serving_http import (
+            HttpPoseService,
+        )
+
+        svc = HttpPoseService(
+            server, input_size=(cfg.image_height, cfg.image_width))
+        port = svc.start(host=args.host, port=args.http)
+        print(f"Serving on http://{args.host}:{port} "
+              "(POST /predict, GET /healthz, GET /stats); Ctrl-C to stop")
+        try:
+            import signal
+
+            signal.pause()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            svc.close()
+            server.close()
+        return
     paths = sorted(globlib.glob(args.images))
     if not paths:
         raise SystemExit(f"no images match {args.images!r}")
@@ -327,9 +349,15 @@ def main(argv=None):
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)
 
-    sv = sub.add_parser("serve", help="run PoseServer over an image glob")
-    sv.add_argument("--images", required=True,
-                    help="glob of image files to serve")
+    sv = sub.add_parser("serve",
+                        help="serve over HTTP or over an image glob")
+    sv.add_argument("--images", default=None,
+                    help="glob of image files for one-shot batch serving")
+    sv.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve over HTTP instead (0 = ephemeral port): "
+                         "POST /predict, GET /healthz, GET /stats")
+    sv.add_argument("--host", default="127.0.0.1",
+                    help="HTTP bind address (default loopback)")
     sv.add_argument("--save-path", default="keypoints.json")
     sv.add_argument("--latest", action="store_true")
     sv.add_argument("--buckets", type=int, nargs="+", default=[1, 4, 16])
