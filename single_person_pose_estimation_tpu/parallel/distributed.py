@@ -15,9 +15,10 @@ to within one shard.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
+import numpy as np
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -78,3 +79,39 @@ def shard_files_for_process(filenames: Sequence[str],
             "processes; regenerate records with more shards "
             "(smaller num_examples_per_record)")
     return list(filenames)[process_index::process_count]
+
+
+def aggregate_metrics(metrics: Dict[str, float],
+                      weight: float = 1.0) -> Dict[str, float]:
+    """Weighted mean of scalar metrics across all processes.
+
+    The multi-host eval-aggregation seam (SURVEY §2 parallelism table:
+    "eval metric aggregation via process_allgather"): when each host
+    evaluates its own disjoint record shards (`shard_files_for_process`),
+    the per-host means must be combined by example count before any
+    decision is taken on them — otherwise hosts with uneven shards
+    disagree on val_loss and e.g. the best-checkpoint promotion
+    (training/trainer.py) diverges across the cluster.
+
+    This is a COLLECTIVE: every process must call it, with the same keys
+    (values/weights may differ). `weight` is the number of examples
+    behind this process's means. Every process returns the identical
+    global dict: sum_p(w_p * v_p) / sum_p(w_p) per key. Single-process:
+    identity. Also correct when the metrics are already global (a
+    GSPMD-sharded eval step over one global mesh): the weighted mean of
+    identical values is that value.
+    """
+    if jax.process_count() == 1:
+        return {k: float(v) for k, v in metrics.items()}
+    from jax.experimental import multihost_utils
+
+    keys = sorted(metrics)
+    w = float(weight)
+    local = np.array([w] + [float(metrics[k]) * w for k in keys],
+                     np.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    sums = gathered.sum(axis=0)  # (1 + K,): [sum_w, sum_w*v ...]
+    total_w = float(sums[0])
+    if total_w <= 0:
+        raise ValueError("aggregate_metrics: total weight must be > 0")
+    return {k: float(sums[1 + i] / total_w) for i, k in enumerate(keys)}

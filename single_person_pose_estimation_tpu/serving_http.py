@@ -65,7 +65,9 @@ class HttpPoseService:
 
         if shape_header:
             shape = tuple(int(s) for s in shape_header.split(","))
-            if len(shape) != 3 or shape[2] != 3:
+            if len(shape) != 3 or shape[2] != 3 or min(shape) <= 0:
+                # min(shape) guard: a -1 dim would silently make reshape
+                # infer it from the body length.
                 raise ValueError(f"X-Shape must be H,W,3: {shape_header!r}")
             img = np.frombuffer(body, np.float32).reshape(shape)
             orig_h, orig_w = shape[0], shape[1]

@@ -103,8 +103,25 @@ def make_train_step(
     model_backend: str = "flax",
     bn_mode: str = "batch",
     compiler_options: Optional[Dict[str, Any]] = None,
+    accum_steps: int = 1,
 ):
     """Build the jitted train step.
+
+    accum_steps: gradient accumulation. With accum_steps=N the batch is
+    split into N equal microbatches, the forward/backward runs over them
+    as a `lax.scan` (so peak ACTIVATION memory scales with the microbatch,
+    the standard large-effective-batch recipe on memory-bound configs like
+    S8 or 512² inputs), gradients are averaged, and ONE optimizer update
+    is applied — the loss/grad of the full batch exactly, for the
+    mean-over-batch losses this framework uses, whenever BN does not
+    couple examples (bn_mode='frozen'; pinned by test). With train-mode BN
+    ('batch') each microbatch normalizes by its OWN statistics and the
+    running stats chain through the N microbatches in order — the same
+    semantics as N sequential steps of a frozen optimizer, NOT identical
+    to one big-batch step (smaller effective BN batch; document-by-design,
+    same trade PyTorch users make). Augmentation and target rendering run
+    once on the full batch, so data semantics are unchanged. The reference
+    has no equivalent (Keras fit, fixed batch 16 — trainer.py:49).
 
     compiler_options: optional XLA option overrides forwarded to jax.jit
     (e.g. {"xla_tpu_scoped_vmem_limit_kib": "65536"}) — an experiment
@@ -135,6 +152,8 @@ def make_train_step(
             "model_backend='fused' supports the non-mobile hourglass only")
     if bn_mode not in ("batch", "frozen"):
         raise ValueError(f"bn_mode must be 'batch' or 'frozen': {bn_mode!r}")
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1: {accum_steps}")
     flip_pairs = config.flip_pairs
     label_h, label_w = config.label_height, config.label_width
     sigma = config.hm_sigma
@@ -164,13 +183,44 @@ def make_train_step(
         heatmaps = render_heatmaps_batch(
             kx, ky, kv, height=label_h, width=label_w, sigma=sigma)
 
-        grad_fn = jax.value_and_grad(
-            lambda p: _forward_loss(model, loss_fn, p, state.batch_stats,
-                                    images, heatmaps,
-                                    model_backend=model_backend,
-                                    bn_mode=bn_mode),
-            has_aux=True)
-        (total, (new_stats, per_stack)), grads = grad_fn(state.params)
+        if accum_steps > 1:
+            b = images.shape[0]
+            if b % accum_steps:
+                raise ValueError(
+                    f"batch size {b} not divisible by accum_steps "
+                    f"{accum_steps}")
+            micro = b // accum_steps
+            imgs_s = images.reshape((accum_steps, micro) + images.shape[1:])
+            hms_s = heatmaps.reshape(
+                (accum_steps, micro) + heatmaps.shape[1:])
+
+            def micro_step(carry, xs):
+                g_acc, stats = carry
+                imgs_m, hms_m = xs
+                grad_fn = jax.value_and_grad(
+                    lambda p: _forward_loss(model, loss_fn, p, stats,
+                                            imgs_m, hms_m,
+                                            model_backend=model_backend,
+                                            bn_mode=bn_mode),
+                    has_aux=True)
+                (tot_m, (stats, ps_m)), g_m = grad_fn(state.params)
+                g_acc = jax.tree.map(jnp.add, g_acc, g_m)
+                return (g_acc, stats), (tot_m, jnp.stack(ps_m))
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, new_stats), (totals, ps_all) = jax.lax.scan(
+                micro_step, (g0, state.batch_stats), (imgs_s, hms_s))
+            grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
+            total = jnp.mean(totals)
+            per_stack = list(jnp.mean(ps_all, axis=0))
+        else:
+            grad_fn = jax.value_and_grad(
+                lambda p: _forward_loss(model, loss_fn, p, state.batch_stats,
+                                        images, heatmaps,
+                                        model_backend=model_backend,
+                                        bn_mode=bn_mode),
+                has_aux=True)
+            (total, (new_stats, per_stack)), grads = grad_fn(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

@@ -46,7 +46,7 @@ class Trainer:
     def __init__(self, model, ds_builder, epochs: int, learning_rate: float,
                  loss_str: str, config: Config,
                  mesh: Optional[Mesh] = None, augment: bool = True,
-                 bn_mode: str = "batch"):
+                 bn_mode: str = "batch", accum_steps: int = 1):
         self.model = model
         self.config = config
         self.epochs = epochs
@@ -70,7 +70,7 @@ class Trainer:
             self.state = jax.device_put(self.state, mesh_lib.replicated(mesh))
         self.train_step = steps_lib.make_train_step(
             model, self.tx, self.loss_fn, config, mesh=mesh, augment=augment,
-            bn_mode=bn_mode)
+            bn_mode=bn_mode, accum_steps=accum_steps)
         self.eval_step = steps_lib.make_eval_step(
             model, self.loss_fn, config, mesh=mesh)
 
@@ -113,7 +113,17 @@ class Trainer:
         for _ in range(self.valid_steps):
             batch = self._put_batch(next(self.ds_valid))
             collected.append(self.eval_step(self.state, batch))
-        return _mean_metrics(collected)
+        local = _mean_metrics(collected)
+        if jax.process_count() > 1:
+            # Multi-host: combine per-host shard means by example count so
+            # every host sees the same global val metrics — the best-val
+            # promotion below must not diverge across the cluster.
+            from single_person_pose_estimation_tpu.parallel import (
+                distributed,
+            )
+            local = distributed.aggregate_metrics(
+                local, weight=self.valid_steps * self.batch_size)
+        return local
 
     def _fit(self, initial_epoch: int, final_epoch: int) -> None:
         for epoch in range(initial_epoch, final_epoch):

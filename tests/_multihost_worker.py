@@ -66,6 +66,17 @@ def main():
     # Each process holds only its own 4 device shards of the global array.
     assert len(batch["x"].addressable_shards) == 4
 
+    # Cross-process eval-metric aggregation (SURVEY §2: process_allgather):
+    # per-host means weighted by example count — every process must land
+    # on the SAME global weighted mean.
+    local_metrics = {"val_loss": float(pid + 1), "acc": 0.5 * (pid + 1)}
+    weight = 4.0 if pid == 0 else 12.0  # uneven shards
+    agg = distributed.aggregate_metrics(local_metrics, weight=weight)
+    np.testing.assert_allclose(agg["val_loss"], (1 * 4 + 2 * 12) / 16.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(agg["acc"], (0.5 * 4 + 1.0 * 12) / 16.0,
+                               rtol=1e-6)
+
     print(f"MULTIHOST_WORKER_OK pid={pid}", flush=True)
 
 

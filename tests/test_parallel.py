@@ -259,6 +259,19 @@ def test_shard_files_for_process():
     assert shard_files_for_process(files, 0, 1) == files
 
 
+def test_aggregate_metrics_single_process_identity():
+    """Single process: aggregate_metrics is the identity (the collective
+    is exercised for real in the 2-process cluster test below)."""
+    from single_person_pose_estimation_tpu.parallel.distributed import (
+        aggregate_metrics,
+    )
+
+    m = {"val_loss": 1.25, "loss/hg0": 0.5}
+    out = aggregate_metrics(m, weight=64)
+    assert out == {"val_loss": 1.25, "loss/hg0": 0.5}
+    assert out is not m  # a copy, safe to mutate
+
+
 def test_dataset_builder_process_sharding(tmp_path):
     from test_data import make_synthetic_coco
     from single_person_pose_estimation_tpu.data import coco as coco_lib

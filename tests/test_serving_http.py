@@ -135,6 +135,9 @@ def test_bad_input_is_400_not_crash(service):
                         "X-Shape": "4,4"}),          # bad shape header
         (np.full((4, 4, 3), np.nan, np.float32).tobytes(),
          {"Content-Type": "application/octet-stream", "X-Shape": "4,4,3"}),
+        (np.zeros((4, 4, 3), np.float32).tobytes(),
+         {"Content-Type": "application/octet-stream",
+          "X-Shape": "-1,4,3"}),                     # reshape must not infer
     ]:
         with pytest.raises(urllib.error.HTTPError) as exc:
             _post(port, "/predict", body, headers)
