@@ -90,7 +90,11 @@ def _make_trainer(args, cfg: Config):
     builder = DatasetBuilder(cfg, ratio=args.ratio)
     return Trainer(model, builder, args.epochs, args.lr, args.loss, cfg,
                    mesh=mesh, augment=not args.no_augment,
-                   bn_mode="frozen" if args.freeze_bn else "batch")
+                   bn_mode="frozen" if args.freeze_bn else "batch",
+                   accum_steps=args.accum_steps,
+                   lr_schedule=args.lr_schedule,
+                   warmup_steps=args.warmup_steps,
+                   ema_decay=args.ema_decay)
 
 
 def cmd_train(args, cfg: Config):
@@ -307,6 +311,19 @@ def main(argv=None):
                        help="fine-tuning: normalize with frozen running "
                             "BN statistics (4.2%% faster; do not use "
                             "from-scratch)")
+        t.add_argument("--accum-steps", type=int, default=1,
+                       help="gradient accumulation: N microbatches per "
+                            "optimizer step (activation memory scales "
+                            "with batch/N)")
+        t.add_argument("--lr-schedule", default=None,
+                       choices=["constant", "cosine"],
+                       help="lr schedule (default: constant, reference "
+                            "semantics)")
+        t.add_argument("--warmup-steps", type=int, default=0,
+                       help="linear lr warmup steps")
+        t.add_argument("--ema-decay", type=float, default=None,
+                       help="track a Polyak EMA of params in the "
+                            "optimizer state (e.g. 0.999)")
         t.set_defaults(fn=fn)
 
     e = sub.add_parser("eval")

@@ -323,10 +323,87 @@ def make_predict_fn(model, mesh: Optional[Mesh] = None):
     return jax.jit(predict)
 
 
-def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+def make_lr_schedule(learning_rate: float, schedule: Optional[str] = None,
+                     total_steps: Optional[int] = None,
+                     warmup_steps: int = 0):
+    """An optax learning-rate schedule.
+
+    schedule=None/'constant' is the reference semantics (fixed lr per
+    session, trainer.py:31; resume_training sets a new constant).
+    'cosine' decays to 0 over total_steps after warmup_steps of linear
+    warmup — the standard from-scratch TPU recipe the reference lacked
+    (it trained in fixed-lr sessions, dropping lr by hand between
+    Train.ipynb runs)."""
+    if schedule in (None, "constant"):
+        if warmup_steps:
+            return optax.linear_schedule(0.0, learning_rate, warmup_steps)
+        return learning_rate
+    if schedule == "cosine":
+        if not total_steps:
+            raise ValueError("schedule='cosine' requires total_steps")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=total_steps)
+    raise ValueError(
+        f"unknown schedule {schedule!r}: use None/'constant'/'cosine'")
+
+
+def ema_of_params(decay: float) -> optax.GradientTransformation:
+    """Track an exponential moving average of the PARAMS inside opt_state.
+
+    A stateful identity transform: updates pass through unchanged; the
+    state holds ema <- decay * ema + (1 - decay) * new_params after each
+    step. Living in opt_state, the EMA checkpoints/restores/shards with
+    everything else for free (training/checkpoint.py). Retrieve with
+    `get_ema_params(state.opt_state)` and evaluate by swapping params —
+    the standard Polyak-averaged eval for heatmap models."""
+    if not 0.0 <= decay < 1.0:
+        raise ValueError(f"ema decay must be in [0, 1): {decay}")
+
+    def init(params):
+        # A REAL copy: jnp.asarray would alias the param buffers, and a
+        # donated train step then sees the same buffer twice (Execute()
+        # "donate the same buffer twice" error).
+        return {"ema": jax.tree.map(lambda p: jnp.array(p, copy=True),
+                                    params)}
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("ema_of_params needs params passed to update")
+        new_p = optax.apply_updates(params, updates)
+        ema = jax.tree.map(lambda e, p: e * decay + (1.0 - decay) * p,
+                           state["ema"], new_p)
+        return updates, {"ema": ema}
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state):
+    """The EMA param tree tracked by make_optimizer(ema_decay=...)."""
+    leaves = opt_state if isinstance(opt_state, (tuple, list)) \
+        else (opt_state,)
+    for s in leaves:
+        if isinstance(s, dict) and "ema" in s:
+            return s["ema"]
+    raise ValueError(
+        "optimizer state has no EMA component; build it with "
+        "make_optimizer(..., ema_decay=0.999)")
+
+
+def make_optimizer(learning_rate: float, schedule: Optional[str] = None,
+                   total_steps: Optional[int] = None, warmup_steps: int = 0,
+                   ema_decay: Optional[float] = None,
+                   ) -> optax.GradientTransformation:
     """Adam with Keras defaults (b1=0.9, b2=0.999, eps=1e-7), matching the
-    reference optimizer (trainer.py:31)."""
-    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+    reference optimizer (trainer.py:31). Optional extras beyond the
+    reference: an lr schedule (see make_lr_schedule) and a Polyak EMA of
+    the params (see ema_of_params)."""
+    lr = make_lr_schedule(learning_rate, schedule, total_steps, warmup_steps)
+    tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-7)
+    if ema_decay is not None:
+        tx = optax.chain(tx, ema_of_params(ema_decay))
+    return tx
 
 
 def recalibrate_batch_stats(model, state: TrainState, batches,

@@ -46,7 +46,9 @@ class Trainer:
     def __init__(self, model, ds_builder, epochs: int, learning_rate: float,
                  loss_str: str, config: Config,
                  mesh: Optional[Mesh] = None, augment: bool = True,
-                 bn_mode: str = "batch", accum_steps: int = 1):
+                 bn_mode: str = "batch", accum_steps: int = 1,
+                 lr_schedule: Optional[str] = None, warmup_steps: int = 0,
+                 ema_decay: Optional[float] = None):
         self.model = model
         self.config = config
         self.epochs = epochs
@@ -62,7 +64,10 @@ class Trainer:
                                // config.batch_size)
         self.batch_size = config.batch_size
 
-        self.tx = steps_lib.make_optimizer(learning_rate)
+        self.tx = steps_lib.make_optimizer(
+            learning_rate, schedule=lr_schedule,
+            total_steps=epochs * self.steps_per_epoch,
+            warmup_steps=warmup_steps, ema_decay=ema_decay)
         self.state = steps_lib.TrainState.create(
             model, self.tx, jax.random.PRNGKey(config.seed),
             input_shape=(1, config.image_height, config.image_width, 3))
@@ -221,6 +226,11 @@ class Trainer:
 
     # API-parity alias for the reference's spelling (trainer.py:193).
     get_lattest_weights_model = get_latest_weights_model
+
+    def get_ema_params(self):
+        """Polyak-averaged params (requires Trainer(ema_decay=...)); eval
+        by swapping them in for state.params."""
+        return steps_lib.get_ema_params(self.state.opt_state)
 
     @staticmethod
     def get_loss_from_string(loss_str: str):
