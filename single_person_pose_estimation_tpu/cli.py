@@ -109,6 +109,21 @@ def cmd_resume(args, cfg: Config):
     trainer.close()
 
 
+def _maybe_ema_params(state, args, what: str):
+    """Swap the Polyak-averaged params in when --ema was passed.
+
+    The meta-aware loader already rebuilt the EMA opt_state component
+    from the checkpoint's meta; get_ema_params raises clearly for
+    checkpoints trained without --ema-decay."""
+    if not getattr(args, "ema", False):
+        return state
+    from single_person_pose_estimation_tpu.training import steps
+
+    state = state.replace(params=steps.get_ema_params(state.opt_state))
+    print(f"{what} the Polyak-averaged (EMA) params")
+    return state
+
+
 def cmd_eval(args, cfg: Config):
     from single_person_pose_estimation_tpu.configs.default_config import (
         COCO_KEYPOINT_LABELS,
@@ -135,6 +150,7 @@ def cmd_eval(args, cfg: Config):
         model, cfg.checkpoints_path, best=not args.latest,
         input_shape=(1, cfg.image_height, cfg.image_width, 3))
     print(f"Loaded checkpoint meta: {meta}")
+    state = _maybe_ema_params(state, args, "Evaluating")
     builder = DatasetBuilder(cfg, ratio=args.ratio)
     if args.recalibrate_batches:
         # BN running stats (Keras momentum .99) take ~1e4 steps to converge;
@@ -191,6 +207,7 @@ def cmd_serve(args, cfg: Config):
         model, cfg.checkpoints_path, best=not args.latest,
         input_shape=(1, cfg.image_height, cfg.image_width, 3))
     print(f"Loaded checkpoint meta: {meta}")
+    state = _maybe_ema_params(state, args, "Serving")
     server = PoseServer(model, state.params, state.batch_stats,
                         buckets=tuple(args.buckets),
                         transfer_dtype=args.transfer_dtype)
@@ -260,6 +277,7 @@ def cmd_export(args, cfg: Config):
         model, cfg.checkpoints_path, best=not args.latest,
         input_shape=(1, cfg.image_height, cfg.image_width, 3))
     print(f"Loaded checkpoint meta: {meta}")
+    state = _maybe_ema_params(state, args, "Exporting")
     wrote = []
     if args.artifact:
         export_lib.save_inference_artifact(cfg, state.params,
@@ -338,6 +356,9 @@ def main(argv=None):
                    help="refresh BN running stats over N train batches "
                         "before predicting (needed after short trainings)")
     e.add_argument("--save-path", default="result.json")
+    e.add_argument("--ema", action="store_true",
+                   help="evaluate the Polyak-averaged params (checkpoint "
+                        "must come from train --ema-decay)")
     e.add_argument("--report", default=None, metavar="PREFIX",
                    help="write PREFIX.md + PCK/OKS figures (the artifacts "
                         "the reference publishes as README screenshots)")
@@ -361,6 +382,9 @@ def main(argv=None):
                         "library-only: utils.export.export_tflite)")
     x.add_argument("--latest", action="store_true",
                    help="export the latest instead of the best checkpoint")
+    x.add_argument("--ema", action="store_true",
+                   help="export the Polyak-averaged params (checkpoint "
+                        "must come from train --ema-decay)")
     x.set_defaults(fn=cmd_export)
 
     b = sub.add_parser("bench")
@@ -377,6 +401,9 @@ def main(argv=None):
                     help="HTTP bind address (default loopback)")
     sv.add_argument("--save-path", default="keypoints.json")
     sv.add_argument("--latest", action="store_true")
+    sv.add_argument("--ema", action="store_true",
+                    help="serve the Polyak-averaged params (checkpoint "
+                         "must come from train --ema-decay)")
     sv.add_argument("--buckets", type=int, nargs="+", default=[1, 4, 16])
     sv.add_argument("--transfer-dtype", default="uint8",
                     choices=["uint8", "bfloat16", "float32"])

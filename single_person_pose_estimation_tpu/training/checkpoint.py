@@ -120,6 +120,21 @@ class CheckpointManager:
         )
         return restored["state"], restored["meta"]
 
+    def read_meta(self, epoch: Optional[int] = None,
+                  best: bool = False) -> Optional[dict]:
+        """Restore ONLY the metadata dict (no state tree needed) — lets a
+        loader discover how to build the matching abstract opt_state
+        (lr schedule / EMA components) before the full restore."""
+        if best:
+            return self.best_meta()
+        if epoch is None:
+            epoch = self.latest_epoch()
+        if epoch is None:
+            return None
+        restored = self._latest.restore(
+            epoch, args=ocp.args.Composite(meta=ocp.args.JsonRestore()))
+        return restored["meta"]
+
     def best_meta(self) -> Optional[dict]:
         if self._best.latest_step() is None:
             return None

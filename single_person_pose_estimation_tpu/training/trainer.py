@@ -64,6 +64,9 @@ class Trainer:
                                // config.batch_size)
         self.batch_size = config.batch_size
 
+        self.ema_decay = ema_decay
+        self.lr_schedule = lr_schedule
+        self.warmup_steps = warmup_steps
         self.tx = steps_lib.make_optimizer(
             learning_rate, schedule=lr_schedule,
             total_steps=epochs * self.steps_per_epoch,
@@ -145,8 +148,15 @@ class Trainer:
                   f"loss: {row['loss']:.4f} - val_loss: {row['val_loss']:.4f}"
                   f" - lr: {self.learning_rate} - "
                   f"{train_m['_images_per_sec']:.1f} img/s")
+            # lr_schedule/warmup/ema shape the opt_state tree: loaders read
+            # these to build a matching abstract state before the Orbax
+            # restore (utils.model_utils.load_model_from_checkpoint).
             meta = {"epoch": epoch + 1, "loss_str": self.loss_str,
-                    "learning_rate": self.learning_rate}
+                    "learning_rate": self.learning_rate,
+                    "lr_schedule": self.lr_schedule,
+                    "warmup_steps": self.warmup_steps}
+            if self.ema_decay is not None:
+                meta["ema_decay"] = self.ema_decay
             if (epoch + 1) % self.config.checkpoint_every_epochs == 0 \
                     or epoch + 1 == final_epoch:
                 self.ckpt.save(epoch + 1, self.state, meta)
@@ -185,6 +195,7 @@ class Trainer:
         if prev_epoch is None:
             raise FileNotFoundError(
                 f"no checkpoint to resume in {self.config.checkpoints_path}")
+        self._check_resume_opt_structure()
         print(f"Loading state from epoch {prev_epoch}")
         self.state, meta = self.ckpt.restore(self.state)
 
@@ -210,6 +221,46 @@ class Trainer:
         self.epochs = total_epochs
         print(f"Finished training!! Total time "
               f"{timedelta(seconds=time.time() - start)}")
+
+    def _check_resume_opt_structure(self) -> None:
+        """Fail a structurally impossible resume with a clear message.
+
+        The opt_state TREE depends on whether the optimizer has a schedule
+        (any lr_schedule or warmup -> ScaleByScheduleState) and whether it
+        tracks an EMA; a full-state restore into a differently shaped tree
+        dies deep inside Orbax. The checkpoint meta records how it was
+        trained (see _fit), so mismatches can be reported up front. A new
+        lr VALUE (or a different ema decay/schedule of the same shape) is
+        fine — that is the reference's resume semantics."""
+        meta = self.ckpt.read_meta()
+        if meta is None or "lr_schedule" not in meta:
+            return  # pre-meta checkpoint: let restore decide, as before
+        ckpt_sched = bool(meta.get("lr_schedule")) or bool(
+            meta.get("warmup_steps"))
+        ckpt_ema = meta.get("ema_decay") is not None
+        self_sched = bool(self.lr_schedule) or bool(self.warmup_steps)
+        self_ema = self.ema_decay is not None
+        problems = []
+        if ckpt_sched != self_sched:
+            problems.append(
+                f"checkpoint was trained with "
+                f"{'an lr schedule/warmup' if ckpt_sched else 'a constant lr'}"
+                f" (lr_schedule={meta.get('lr_schedule')!r}, "
+                f"warmup_steps={meta.get('warmup_steps')}) but this Trainer "
+                f"was built with lr_schedule={self.lr_schedule!r}, "
+                f"warmup_steps={self.warmup_steps}")
+        if ckpt_ema != self_ema:
+            problems.append(
+                f"checkpoint {'tracks' if ckpt_ema else 'does not track'} "
+                f"an EMA (ema_decay={meta.get('ema_decay')}) but this "
+                f"Trainer was built with ema_decay={self.ema_decay}")
+        if problems:
+            raise ValueError(
+                "cannot resume: optimizer state structure does not match "
+                "the checkpoint — " + "; ".join(problems) +
+                ". Pass matching lr_schedule/warmup_steps/ema_decay to "
+                "resume (values may differ; only their presence shapes "
+                "the state).")
 
     # ------------------------------------------------------------------
 

@@ -22,19 +22,38 @@ def load_model_from_checkpoint(model, ckpt_dir: str,
                                epoch: Optional[int] = None,
                                best: bool = False,
                                learning_rate: float = 1e-3,
-                               input_shape=(1, 256, 256, 3)):
+                               input_shape=(1, 256, 256, 3),
+                               ema_decay: Optional[float] = None):
     """Build a TrainState for `model` and restore it from `ckpt_dir`.
 
     best=True restores the best-val-loss checkpoint; otherwise `epoch`
     (default latest). Returns (state, meta). The reference analog loads
     weights then compiles (model_utils.py:5-21); here the optimizer state
     comes back too.
+
+    The optimizer extras a Trainer used (lr schedule, warmup, EMA) shape
+    the opt_state tree; the checkpoint's meta records them, so this reads
+    the meta FIRST and builds a structurally matching abstract state —
+    checkpoints from any Trainer configuration load without the caller
+    knowing how they were trained. `ema_decay` overrides the meta (for
+    pre-meta checkpoints trained with EMA); the value only matters for
+    structure, not numerics.
     """
-    tx = steps_lib.make_optimizer(learning_rate)
-    abstract = steps_lib.TrainState.create(model, tx, jax.random.PRNGKey(0),
-                                           input_shape=input_shape)
     mgr = CheckpointManager(ckpt_dir, async_checkpointing=False)
     try:
+        meta0 = mgr.read_meta(epoch=epoch, best=best) or {}
+        if ema_decay is None:
+            ema_decay = meta0.get("ema_decay")
+        tx = steps_lib.make_optimizer(
+            learning_rate,
+            schedule=meta0.get("lr_schedule"),
+            # any positive count yields the same ScaleByScheduleState
+            # structure; the restored values overwrite it.
+            total_steps=(meta0.get("warmup_steps", 0) or 0) + 1,
+            warmup_steps=meta0.get("warmup_steps", 0) or 0,
+            ema_decay=ema_decay)
+        abstract = steps_lib.TrainState.create(
+            model, tx, jax.random.PRNGKey(0), input_shape=input_shape)
         if best:
             return mgr.restore_best(abstract)
         return mgr.restore(abstract, epoch=epoch)

@@ -156,6 +156,74 @@ def test_export_end_to_end(tmp_path):
         cli.main(cfg_sets + ["export", "--latest"])
 
 
+def test_export_ema_params(tmp_path):
+    """export --ema writes the Polyak-averaged params, not the live ones;
+    --ema on a non-EMA checkpoint fails with a clear error."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from single_person_pose_estimation_tpu.training import steps
+    from single_person_pose_estimation_tpu.training.checkpoint import (
+        CheckpointManager,
+    )
+    from single_person_pose_estimation_tpu.utils.export import (
+        load_inference_artifact,
+    )
+
+    cfg_sets = ["--set", f"temporary_dir={tmp_path}",
+                "--set", "hg_num_stacks=1", "--set", "hg_num_channels=8",
+                "--set", "image_height=64", "--set", "image_width=64",
+                "--set", "label_height=16", "--set", "label_width=16",
+                "--set", "compute_dtype=float32",
+                "--set", "async_checkpointing=false"]
+    cfg = cli._apply_overrides(Config(), [a for a in cfg_sets
+                                          if a != "--set"])
+    model = cli._build_model(cfg)
+    tx = steps.make_optimizer(1e-3, ema_decay=0.9)
+    state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                    input_shape=(1, 64, 64, 3))
+    # Shift the live params off the EMA (which still holds the init
+    # values) so the two are distinguishable without training.
+    state = state.replace(
+        params=jax.tree.map(lambda p: p + 1.0, state.params))
+    mgr = CheckpointManager(cfg.checkpoints_path, async_checkpointing=False)
+    mgr.save(epoch=1, state=state,
+             meta={"val_loss": 1.0, "ema_decay": 0.9})
+    if hasattr(mgr, "close"):
+        mgr.close()
+
+    artifact = tmp_path / "artifact_ema"
+    cli.main(cfg_sets + ["export", "--latest", "--ema",
+                         "--artifact", str(artifact)])
+    _, variables, _ = load_inference_artifact(str(artifact))
+    ema = steps.get_ema_params(state.opt_state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(variables["params"])[0], np.float32),
+        np.asarray(jax.tree.leaves(ema)[0], np.float32))
+    # And NOT the live (shifted) params.
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(variables["params"])[0], np.float32),
+        np.asarray(jax.tree.leaves(state.params)[0], np.float32))
+
+    # Non-EMA checkpoint: --ema must fail clearly, before writing.
+    cfg2_sets = [s.replace(str(tmp_path), str(tmp_path / "b"))
+                 for s in cfg_sets]
+    cfg2 = cli._apply_overrides(Config(), [a for a in cfg2_sets
+                                           if a != "--set"])
+    tx2 = steps.make_optimizer(1e-3)
+    state2 = steps.TrainState.create(model, tx2, jax.random.PRNGKey(0),
+                                     input_shape=(1, 64, 64, 3))
+    mgr2 = CheckpointManager(cfg2.checkpoints_path,
+                             async_checkpointing=False)
+    mgr2.save(epoch=1, state=state2, meta={"val_loss": 1.0})
+    if hasattr(mgr2, "close"):
+        mgr2.close()
+    with pytest.raises(ValueError, match="EMA"):
+        cli.main(cfg2_sets + ["export", "--latest", "--ema",
+                              "--artifact", str(tmp_path / "b" / "art")])
+
+
 def test_build_model_front_s2d_dial():
     """Config.front_s2d: default off (the A/B measured a wash, PERF.md),
     auto = TPU-only (off on the CPU test backend), on/off force the flag,

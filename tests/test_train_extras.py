@@ -130,5 +130,19 @@ def test_trainer_ema_schedule_end_to_end(tmp_path):
                            "batch_stats": t.state.batch_stats},
                           jnp.zeros((1, 64, 64, 3)), train=False)[-1]
         assert np.isfinite(np.asarray(out)).all()
+        # The external loader reads the meta FIRST and rebuilds the
+        # matching opt_state tree (cosine schedule + EMA component) with
+        # no knowledge from the caller.
+        from single_person_pose_estimation_tpu.utils.model_utils import (
+            load_model_from_checkpoint,
+        )
+        st2, meta = load_model_from_checkpoint(
+            model, cfg.checkpoints_path, best=True,
+            input_shape=(1, 64, 64, 3))
+        assert meta["ema_decay"] == 0.9
+        assert meta["lr_schedule"] == "cosine"
+        ema2 = steps.get_ema_params(st2.opt_state)
+        assert np.isfinite(
+            np.asarray(jax.tree.leaves(ema2)[0], np.float32)).all()
     finally:
         t.close()

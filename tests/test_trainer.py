@@ -94,6 +94,36 @@ def test_resume_training_continues_epochs(mini):
     t2.close()
 
 
+def test_resume_rejects_mismatched_opt_structure(mini):
+    """Resuming with optimizer flags that reshape the opt_state tree
+    (EMA / schedule presence) fails with a clear message instead of an
+    opaque Orbax restore error; matching flags with different VALUES
+    resume fine."""
+    t1 = make_trainer(mini, epochs=1)
+    t1.train()
+    t1.close()
+
+    model = StackedHourglass(num_stacks=mini.hg_num_stacks,
+                             num_channels=mini.hg_num_channels)
+    t2 = Trainer(model, pipeline.DatasetBuilder(mini), 1, 1e-3, "mse",
+                 mini, augment=False, ema_decay=0.9)
+    with pytest.raises(ValueError, match="EMA"):
+        t2.resume_training()
+    t2.close()
+
+    t3 = Trainer(model, pipeline.DatasetBuilder(mini), 1, 1e-3, "mse",
+                 mini, augment=False, lr_schedule="cosine", warmup_steps=1)
+    with pytest.raises(ValueError, match="schedule"):
+        t3.resume_training()
+    t3.close()
+
+    # Same structure, new lr value: the supported resume path.
+    t4 = make_trainer(mini, epochs=1, lr=5e-4)
+    t4.resume_training()
+    assert t4.ckpt.latest_epoch() == 2
+    t4.close()
+
+
 def test_best_promotion_keeps_lowest_val_loss(mini):
     model = StackedHourglass(num_stacks=2, num_channels=16)
     tx = steps_lib.make_optimizer(1e-3)
