@@ -235,10 +235,16 @@ class Trainer:
         meta = self.ckpt.read_meta()
         if meta is None or "lr_schedule" not in meta:
             return  # pre-meta checkpoint: let restore decide, as before
-        ckpt_sched = bool(meta.get("lr_schedule")) or bool(
-            meta.get("warmup_steps"))
+        # 'constant' without warmup compiles to a plain float lr — the
+        # SAME opt_state structure as lr_schedule=None (make_lr_schedule's
+        # first branch) — so it must not count as schedule-present here.
+        def has_schedule_state(sched, warmup):
+            return sched not in (None, "constant") or bool(warmup)
+
+        ckpt_sched = has_schedule_state(meta.get("lr_schedule"),
+                                        meta.get("warmup_steps"))
         ckpt_ema = meta.get("ema_decay") is not None
-        self_sched = bool(self.lr_schedule) or bool(self.warmup_steps)
+        self_sched = has_schedule_state(self.lr_schedule, self.warmup_steps)
         self_ema = self.ema_decay is not None
         problems = []
         if ckpt_sched != self_sched:

@@ -123,6 +123,14 @@ def test_resume_rejects_mismatched_opt_structure(mini):
     assert t4.ckpt.latest_epoch() == 2
     t4.close()
 
+    # 'constant' (no warmup) compiles to a plain float lr — the SAME
+    # opt_state structure as the default — so it must resume, not raise.
+    t5 = Trainer(model, pipeline.DatasetBuilder(mini), 1, 1e-3, "mse",
+                 mini, augment=False, lr_schedule="constant")
+    t5.resume_training()
+    assert t5.ckpt.latest_epoch() == 3
+    t5.close()
+
 
 def test_best_promotion_keeps_lowest_val_loss(mini):
     model = StackedHourglass(num_stacks=2, num_channels=16)
