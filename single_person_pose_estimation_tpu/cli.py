@@ -169,7 +169,9 @@ def cmd_eval(args, cfg: Config):
     preds = predict_ds(model, state, builder.get_ds_prediction(),
                        conf_threshold=args.conf_threshold,
                        legacy_decode=cfg.legacy_decode,
-                       save_path=args.save_path)
+                       save_path=args.save_path,
+                       flip_test=args.flip_test,
+                       flip_pairs=cfg.flip_pairs)
     print(f"{len(preds)} predictions -> {args.save_path}")
     stats = None
     if args.gt:
@@ -359,6 +361,10 @@ def main(argv=None):
     e.add_argument("--ema", action="store_true",
                    help="evaluate the Polyak-averaged params (checkpoint "
                         "must come from train --ema-decay)")
+    e.add_argument("--flip-test", action="store_true",
+                   help="test-time augmentation: average heatmaps with the "
+                        "horizontally mirrored input (left/right channels "
+                        "swapped back); ~2x forward cost per image")
     e.add_argument("--report", default=None, metavar="PREFIX",
                    help="write PREFIX.md + PCK/OKS figures (the artifacts "
                         "the reference publishes as README screenshots)")

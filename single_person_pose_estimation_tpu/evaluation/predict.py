@@ -18,12 +18,41 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from single_person_pose_estimation_tpu.ops.augment import (
+    DEFAULT_FLIP_PAIRS,
+    _flip_permutation,
+)
 from single_person_pose_estimation_tpu.ops.decode import _decode_v2, decode_v1
+
+
+def unflip_heatmaps(hms: jnp.ndarray, flip_perm: jnp.ndarray,
+                    shift: bool = True) -> jnp.ndarray:
+    """Map heatmaps predicted on a horizontally MIRRORED input back into
+    the original frame: mirror the width axis and swap the left/right
+    keypoint channels (the same flip pairs the training augmentation
+    swaps, dataset_builder.py:271-301).
+
+    hms: (B, H, W, K); flip_perm: (K,) channel permutation.
+
+    shift=True re-aligns the mirrored grid by one column: the stride-4
+    heatmap grid is not mirror-symmetric about the image center (input
+    column c lands in bin c//4, so mirroring the input sends a keypoint
+    at x to W_in-1-x whose bin is offset by the intra-bin phase), and
+    shifting the un-mirrored maps one column right — keeping column 0 —
+    is the standard correction used by hourglass-family eval pipelines.
+    """
+    out = hms[:, :, ::-1, flip_perm]
+    if shift:
+        out = jnp.concatenate([out[:, :, :1, :], out[:, :, :-1, :]], axis=2)
+    return out
 
 
 def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
                            legacy: bool = True, version: int = 2,
-                           use_fused="auto", interpret: bool = False):
+                           use_fused="auto", interpret: bool = False,
+                           flip_test: bool = False,
+                           flip_pairs=DEFAULT_FLIP_PAIRS,
+                           flip_shift: bool = True):
     """Jitted (params, batch_stats, images) -> (B, K, 3) keypoints in
     heatmap pixel units, fusing forward + decode on device.
 
@@ -32,7 +61,14 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
     incl. decode at B=128 on v5e; the mobile variant routes the mobile
     kernels, +52% measured: 3,444 vs 2,260 img/s,
     scripts/bench_mobile_fused.py). "auto" = on TPU with a 2-byte
-    compute dtype; the flax path is the fallback everywhere else."""
+    compute dtype; the flax path is the fallback everywhere else.
+
+    flip_test: test-time augmentation — ALSO forward the horizontally
+    mirrored batch, un-mirror its heatmaps (width flip + left/right
+    channel swap, see unflip_heatmaps), and decode the average of the
+    two. The standard hourglass-family eval-accuracy lever (the
+    reference evaluates single-view only, eval.py:106-108); it runs the
+    forward twice, so expect ~half the eval throughput."""
     from single_person_pose_estimation_tpu.models.fused_inference import (
         auto_use_fused,
         forward_last_stack,
@@ -41,6 +77,7 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
     auto = use_fused == "auto"
     if auto:
         use_fused = auto_use_fused(model)
+    flip_perm = _flip_permutation(model.num_classes, flip_pairs)
 
     @jax.jit
     def fn(params, batch_stats, images):
@@ -50,6 +87,13 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
         hms = forward_last_stack(model, variables, images,
                                  use_fused=use_fused, auto=auto,
                                  interpret=interpret)
+        if flip_test:
+            hms_f = forward_last_stack(model, variables,
+                                       images[:, :, ::-1, :],
+                                       use_fused=use_fused, auto=auto,
+                                       interpret=interpret)
+            hms = 0.5 * (hms + unflip_heatmaps(hms_f, flip_perm,
+                                               shift=flip_shift))
         if version == 1:
             dec = partial(decode_v1, conf_threshold=conf_threshold)
         else:
@@ -68,6 +112,8 @@ def predict_ds(
     legacy_decode: bool = True,
     decode_version: int = 2,
     save_path: Optional[str] = "result.json",
+    flip_test: bool = False,
+    flip_pairs=DEFAULT_FLIP_PAIRS,
 ) -> List[dict]:
     """Iterate the prediction dataset; return the reference's prediction
     records (eval.py:110-141): per example the un-cropped predicted and GT
@@ -78,7 +124,8 @@ def predict_ds(
     heatmap size then mapped through the stored square crop box.
     """
     fn = make_predict_decode_fn(model, conf_threshold, legacy_decode,
-                                decode_version)
+                                decode_version, flip_test=flip_test,
+                                flip_pairs=flip_pairs)
     predictions: List[dict] = []
     for images, metas in ds_prediction:
         kps = np.asarray(fn(state.params, state.batch_stats,

@@ -456,3 +456,84 @@ def test_predict_auto_falls_back_to_flax_above_256_mobile(monkeypatch):
     out = fn(v["params"], v["batch_stats"],
              jax.random.uniform(jax.random.PRNGKey(1), (1, 320, 320, 3)))
     assert out.shape == (1, 17, 3)
+
+
+def test_unflip_heatmaps_maps_peaks_back():
+    """A peak channel L puts after mirror-eval where channel R's peak
+    belongs: unflip mirrors W and swaps the flip-pair channels; shift=True
+    moves the un-mirrored maps one column right (column 0 kept)."""
+    import jax.numpy as jnp
+
+    from single_person_pose_estimation_tpu.evaluation.predict import (
+        unflip_heatmaps,
+    )
+    from single_person_pose_estimation_tpu.ops.augment import (
+        DEFAULT_FLIP_PAIRS,
+        _flip_permutation,
+    )
+
+    H = W = 8
+    K = 17
+    perm = _flip_permutation(K, DEFAULT_FLIP_PAIRS)
+    # The mirrored forward saw the flipped image, so its "left eye"
+    # channel (1) fires where the ORIGINAL right eye (2) is, at the
+    # mirrored column.
+    hms_f = np.zeros((1, H, W, K), np.float32)
+    y, x_orig = 3, 5
+    hms_f[0, y, W - 1 - x_orig, 1] = 1.0
+
+    out = np.asarray(unflip_heatmaps(jnp.asarray(hms_f), perm, shift=False))
+    assert out[0, y, x_orig, 2] == 1.0
+    assert out.sum() == 1.0
+
+    out_s = np.asarray(unflip_heatmaps(jnp.asarray(hms_f), perm, shift=True))
+    assert out_s[0, y, x_orig + 1, 2] == 1.0
+    assert out_s.sum() == 1.0
+
+    # Column 0 survives the shift (it is duplicated, not rolled around).
+    hms_edge = np.zeros((1, H, W, K), np.float32)
+    hms_edge[0, 2, W - 1, 0] = 1.0  # nose at original column 0
+    out_e = np.asarray(unflip_heatmaps(jnp.asarray(hms_edge), perm,
+                                       shift=True))
+    assert out_e[0, 2, 0, 0] == 1.0 and out_e[0, 2, 1, 0] == 1.0
+
+
+def test_flip_test_decode_matches_manual_average():
+    """make_predict_decode_fn(flip_test=True) must decode exactly the
+    average of the straight heatmaps and the un-flipped mirrored ones."""
+    import jax
+    import jax.numpy as jnp
+
+    from single_person_pose_estimation_tpu.evaluation import predict
+    from single_person_pose_estimation_tpu.models.hourglass import (
+        StackedHourglass,
+    )
+    from single_person_pose_estimation_tpu.ops.augment import (
+        DEFAULT_FLIP_PAIRS,
+        _flip_permutation,
+    )
+    from single_person_pose_estimation_tpu.ops.decode import _decode_v2
+
+    model = StackedHourglass(num_stacks=2, num_channels=16,
+                             compute_dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+
+    fn = predict.make_predict_decode_fn(model, use_fused=False,
+                                        flip_test=True)
+    got = np.asarray(fn(v["params"], v["batch_stats"], x))
+
+    hms = model.apply(v, x, train=False)[-1]
+    hms_f = model.apply(v, x[:, :, ::-1, :], train=False)[-1]
+    perm = _flip_permutation(17, DEFAULT_FLIP_PAIRS)
+    avg = 0.5 * (hms + predict.unflip_heatmaps(hms_f, perm, shift=True))
+    want = np.asarray(jax.vmap(
+        lambda h: _decode_v2(h, conf_threshold=1e-6, legacy=True))(avg))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # And it differs from the single-view decode in general (the TTA
+    # actually changes the prediction for an asymmetric model).
+    single = np.asarray(predict.make_predict_decode_fn(
+        model, use_fused=False)(v["params"], v["batch_stats"], x))
+    assert not np.allclose(got, single)
