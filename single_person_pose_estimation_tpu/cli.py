@@ -166,12 +166,21 @@ def cmd_eval(args, cfg: Config):
             model, state, (next(train_it) for _ in range(n)),
             momentum=momentum)
         print(f"Recalibrated BN stats over {n} train batches")
+    import jax
+
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from single_person_pose_estimation_tpu.parallel import (
+            mesh as mesh_lib,
+        )
+        mesh = mesh_lib.create_mesh((-1,), ("data",))
     preds = predict_ds(model, state, builder.get_ds_prediction(),
                        conf_threshold=args.conf_threshold,
                        legacy_decode=cfg.legacy_decode,
                        save_path=args.save_path,
                        flip_test=args.flip_test,
-                       flip_pairs=cfg.flip_pairs)
+                       flip_pairs=cfg.flip_pairs,
+                       mesh=mesh)
     print(f"{len(preds)} predictions -> {args.save_path}")
     stats = None
     if args.gt:
@@ -365,6 +374,9 @@ def main(argv=None):
                    help="test-time augmentation: average heatmaps with the "
                         "horizontally mirrored input (left/right channels "
                         "swapped back); ~2x forward cost per image")
+    e.add_argument("--data-parallel", action="store_true", default=True,
+                   help="shard eval batches over all devices' 'data' mesh "
+                        "axis (on by default; no-op on one device)")
     e.add_argument("--report", default=None, metavar="PREFIX",
                    help="write PREFIX.md + PCK/OKS figures (the artifacts "
                         "the reference publishes as README screenshots)")

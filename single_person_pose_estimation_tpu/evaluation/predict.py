@@ -52,7 +52,8 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
                            use_fused="auto", interpret: bool = False,
                            flip_test: bool = False,
                            flip_pairs=DEFAULT_FLIP_PAIRS,
-                           flip_shift: bool = True):
+                           flip_shift: bool = True,
+                           mesh=None):
     """Jitted (params, batch_stats, images) -> (B, K, 3) keypoints in
     heatmap pixel units, fusing forward + decode on device.
 
@@ -68,7 +69,12 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
     channel swap, see unflip_heatmaps), and decode the average of the
     two. The standard hourglass-family eval-accuracy lever (the
     reference evaluates single-view only, eval.py:106-108); it runs the
-    forward twice, so expect ~half the eval throughput."""
+    forward twice, so expect ~half the eval throughput.
+
+    mesh: optional jax.sharding.Mesh with a "data" axis — images shard
+    over it (batch must be divisible by the axis size; predict_ds pads),
+    params/stats replicate, and GSPMD data-parallelizes the forward +
+    decode across chips (the same sharding PoseServer uses)."""
     from single_person_pose_estimation_tpu.models.fused_inference import (
         auto_use_fused,
         forward_last_stack,
@@ -79,7 +85,6 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
         use_fused = auto_use_fused(model)
     flip_perm = _flip_permutation(model.num_classes, flip_pairs)
 
-    @jax.jit
     def fn(params, batch_stats, images):
         variables = {"params": params, "batch_stats": batch_stats}
         # Backend policy (fused vs flax, incl. the auto >256px fallback)
@@ -101,7 +106,14 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
                           legacy=legacy)
         return jax.vmap(dec)(hms)
 
-    return fn
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data", None, None, None))
+    return jax.jit(fn, in_shardings=(repl, repl, data),
+                   out_shardings=repl)
 
 
 def predict_ds(
@@ -114,6 +126,7 @@ def predict_ds(
     save_path: Optional[str] = "result.json",
     flip_test: bool = False,
     flip_pairs=DEFAULT_FLIP_PAIRS,
+    mesh=None,
 ) -> List[dict]:
     """Iterate the prediction dataset; return the reference's prediction
     records (eval.py:110-141): per example the un-cropped predicted and GT
@@ -125,11 +138,20 @@ def predict_ds(
     """
     fn = make_predict_decode_fn(model, conf_threshold, legacy_decode,
                                 decode_version, flip_test=flip_test,
-                                flip_pairs=flip_pairs)
+                                flip_pairs=flip_pairs, mesh=mesh)
+    dsize = int(mesh.shape["data"]) if mesh is not None else 1
     predictions: List[dict] = []
     for images, metas in ds_prediction:
+        n = images.shape[0]
+        if mesh is not None and n % dsize:
+            # Pad the (final partial) batch up to the data-axis size so it
+            # shards evenly; the padded rows' outputs are sliced away.
+            pad = dsize - n % dsize
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:],
+                                  images.dtype)], axis=0)
         kps = np.asarray(fn(state.params, state.batch_stats,
-                            jnp.asarray(images)))
+                            jnp.asarray(images)))[:n]
         # decode returns heatmap-space coords; normalize by heatmap dims
         # (the model's label resolution is input/4 by construction).
         hm_h = images.shape[1] // 4

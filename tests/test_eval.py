@@ -537,3 +537,59 @@ def test_flip_test_decode_matches_manual_average():
     single = np.asarray(predict.make_predict_decode_fn(
         model, use_fused=False)(v["params"], v["batch_stats"], x))
     assert not np.allclose(got, single)
+
+
+def test_predict_ds_mesh_sharded_matches_single_device():
+    """predict_ds(mesh=...) shards batches over the 8-device data mesh
+    (padding the final partial batch) and must produce the same records
+    as the unsharded path."""
+    import jax
+    import jax.numpy as jnp
+
+    from single_person_pose_estimation_tpu.evaluation.predict import (
+        predict_ds,
+    )
+    from single_person_pose_estimation_tpu.models.hourglass import (
+        StackedHourglass,
+    )
+    from single_person_pose_estimation_tpu.parallel import mesh as mesh_lib
+    from single_person_pose_estimation_tpu.training import steps as steps_lib
+
+    model = StackedHourglass(num_stacks=1, num_channels=16,
+                             compute_dtype=jnp.float32)
+    tx = steps_lib.make_optimizer(1e-3)
+    state = steps_lib.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                        input_shape=(1, 64, 64, 3))
+
+    rng = np.random.default_rng(3)
+
+    def metas(n, base):
+        out = []
+        for i in range(n):
+            out.append({
+                "bbox_w": 100, "bbox_h": 100, "bbox_x": 5.0, "bbox_y": 7.0,
+                "keypoints/x": rng.uniform(0, 100, 17),
+                "keypoints/y": rng.uniform(0, 100, 17),
+                "keypoints/vis": np.full(17, 2),
+                "image_id": base + i, "ann_id": base + i,
+                "original_bbox": [5.0, 7.0, 80.0, 100.0],
+            })
+        return out
+
+    imgs_full = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
+    imgs_part = rng.uniform(0, 1, (5, 64, 64, 3)).astype(np.float32)
+
+    def ds():
+        # 8 divides the mesh; 5 exercises the pad-and-slice path.
+        return [(imgs_full, metas(8, 100)), (imgs_part, metas(5, 200))]
+
+    plain = predict_ds(model, state, ds(), save_path=None)
+    mesh = mesh_lib.create_mesh((8,), ("data",))
+    sharded = predict_ds(model, state, ds(), save_path=None, mesh=mesh)
+
+    assert len(plain) == len(sharded) == 13
+    for a, b in zip(plain, sharded):
+        assert a["image_id"] == b["image_id"]
+        np.testing.assert_allclose(a["xs/pred"], b["xs/pred"], atol=1e-4)
+        np.testing.assert_allclose(a["ys/pred"], b["ys/pred"], atol=1e-4)
+        np.testing.assert_allclose(a["confs"], b["confs"], atol=1e-5)
