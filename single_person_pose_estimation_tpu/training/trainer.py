@@ -27,6 +27,7 @@ from jax.sharding import Mesh
 
 from single_person_pose_estimation_tpu import losses as losses_lib
 from single_person_pose_estimation_tpu.configs.default_config import Config
+from single_person_pose_estimation_tpu.data.device_prefetch import device_prefetch
 from single_person_pose_estimation_tpu.parallel import mesh as mesh_lib
 from single_person_pose_estimation_tpu.training import metrics as metrics_lib
 from single_person_pose_estimation_tpu.training import steps as steps_lib
@@ -57,7 +58,15 @@ class Trainer:
         self.loss_str = loss_str
         self.mesh = mesh
         self.ds_builder = ds_builder
-        self.ds_train, self.ds_valid = ds_builder.build_datasets()
+        host_train, host_valid = ds_builder.build_datasets()
+        # Double-buffered host->device transfer: batch N+1 moves over the
+        # wire on a background thread while step N executes, so the step
+        # loop below dispatches against device-resident batches (the
+        # reference leans on tf.data prefetch + Keras for the same
+        # overlap, dataset_builder.py:46). Measured: 82.6 -> ~bound img/s
+        # on the tunneled v5e (PERF.md "Real-data training loop").
+        self.ds_train = device_prefetch(host_train, mesh=mesh)
+        self.ds_valid = device_prefetch(host_valid, mesh=mesh)
         self.steps_per_epoch = max(1, ds_builder.num_train_examples
                                    // config.batch_size)
         self.valid_steps = max(1, ds_builder.num_valid_examples
@@ -94,19 +103,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _put_batch(self, batch):
-        if self.mesh is not None:
-            batch, _ = mesh_lib.pad_batch_to_devices(
-                batch, int(np.prod(self.mesh.devices.shape)))
-            return mesh_lib.shard_batch(batch, self.mesh)
-        return batch
-
     def _run_epoch(self, epoch: int) -> Dict[str, float]:
         collected = []
         t0 = time.time()
         n_images = 0
         for _ in range(self.steps_per_epoch):
-            batch = self._put_batch(next(self.ds_train))
+            batch = next(self.ds_train)
             n_images += batch["image"].shape[0]
             self.state, m = self.train_step(self.state, batch)
             collected.append(m)
@@ -119,8 +121,7 @@ class Trainer:
     def _run_validation(self) -> Dict[str, float]:
         collected = []
         for _ in range(self.valid_steps):
-            batch = self._put_batch(next(self.ds_valid))
-            collected.append(self.eval_step(self.state, batch))
+            collected.append(self.eval_step(self.state, next(self.ds_valid)))
         local = _mean_metrics(collected)
         if jax.process_count() > 1:
             # Multi-host: combine per-host shard means by example count so
@@ -294,5 +295,7 @@ class Trainer:
         return losses_lib.get_loss_from_string(loss_str)
 
     def close(self) -> None:
+        self.ds_train.close()
+        self.ds_valid.close()
         self.ckpt.close()
         self.logger.close()
