@@ -15,7 +15,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from single_person_pose_estimation_tpu.ops.pallas import bottleneck_grad as bg
+from single_person_pose_estimation_tpu.experimental import bottleneck_grad as bg
 
 B, C = 64, 256
 CM = C // 2

@@ -57,7 +57,7 @@ def fwd_bwd_fn(model, train_bn=True, loss=losses.iou):
 
 def fused_fwd_bwd_fn(num_stacks=4, compute_dtype=jnp.bfloat16,
                      loss=losses.iou, kernel_backend="auto"):
-    from single_person_pose_estimation_tpu.models.fused_train import (
+    from single_person_pose_estimation_tpu.experimental.fused_train import (
         fused_train_apply,
     )
 

@@ -137,7 +137,7 @@ def bottleneck_train_fwd_pallas(x, w1, b1, w2, b2, w3, b3,
     one Pallas kernel (bottleneck_train_kernel.py) with the previous BN
     folded into its prologue and its batch-stat sums accumulated in its
     epilogue: one HBM round trip per activation instead of XLA's five."""
-    from single_person_pose_estimation_tpu.ops.pallas import (
+    from single_person_pose_estimation_tpu.experimental import (
         bottleneck_train_kernel as ker,
     )
 
@@ -273,7 +273,7 @@ def bottleneck_train_bwd_pallas(residuals, g, interpret: bool = False):
     reduction kernel + three compute kernels, each folding the next
     unit's reductions into its epilogue. Same contract as
     bottleneck_train_bwd."""
-    from single_person_pose_estimation_tpu.ops.pallas import (
+    from single_person_pose_estimation_tpu.experimental import (
         bottleneck_train_kernel as ker,
     )
 

@@ -5,7 +5,7 @@ mutable=["batch_stats"])` on the non-mobile hourglass: same flax variables,
 same per-stack heatmaps, same updated running statistics — but every
 identity-skip hourglass bottleneck (15 per stack: the bulk of the FLOPs and
 the saved-activation traffic) routes through
-ops.pallas.bottleneck_grad.make_bottleneck_train, whose custom backward is
+experimental.bottleneck_grad.make_bottleneck_train, whose custom backward is
 the phase-fused form (BN/ReLU chain recomputed from saved activations
 instead of materialized; per-channel BN reductions folded into the same
 passes as the conv grads). The front module (conv skips), pooling,
@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from single_person_pose_estimation_tpu.ops.pallas.bottleneck_grad import (
+from single_person_pose_estimation_tpu.experimental.bottleneck_grad import (
     _bn_apply,
     _bn_stats,
     make_bottleneck_train,

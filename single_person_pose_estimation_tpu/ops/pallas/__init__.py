@@ -1,14 +1,9 @@
-"""Hand-written Pallas TPU kernels for the framework's non-conv hot ops.
+"""Hand-written Pallas TPU kernels on the PRODUCTION inference path
+(bottleneck/uplevel/head/mobile/bottom/warp — the measured wins wired
+through models/fused_inference.py and ops/augment.py).
 
-Both kernels are bit-identical to their XLA counterparts (verified on TPU)
-and are kept as alternatives; the XLA implementations remain the defaults
-because XLA's fused lowerings measured slightly faster for these
-memory-light ops (see each module's docstring for numbers).
+Measured-slower alternatives (train-mode bottleneck kernels, heatmap
+render, decode) are quarantined in
+single_person_pose_estimation_tpu.experimental (VERDICT r3 Next #8);
+their A/B numbers live in PERF.md's negative-results table.
 """
-
-from single_person_pose_estimation_tpu.ops.pallas.decode_kernel import (
-    decode_batch_pallas,
-)
-from single_person_pose_estimation_tpu.ops.pallas.heatmap_kernel import (
-    render_heatmaps_batch_pallas,
-)

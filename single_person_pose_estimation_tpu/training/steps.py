@@ -73,7 +73,7 @@ def _forward_loss(model, loss_fn, params, batch_stats, images, heatmaps,
         total = jnp.sum(jnp.stack(per_stack))
         return total, (batch_stats, per_stack)
     if model_backend == "fused":
-        from single_person_pose_estimation_tpu.models.fused_train import (
+        from single_person_pose_estimation_tpu.experimental.fused_train import (
             fused_train_apply,
         )
         outs, new_stats = fused_train_apply(

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from single_person_pose_estimation_tpu.ops.pallas import bottleneck_grad as bg
+from single_person_pose_estimation_tpu.experimental import bottleneck_grad as bg
 
 
 def make_inputs(key, B=2, H=8, W=8, C=32, dtype=jnp.float32):
@@ -136,7 +136,7 @@ def test_pallas_bwd_multiblock_grid():
            args["g1"], args["be1"], args["g2"], args["be2"],
            args["g3"], args["be3"])
     want = bg.bottleneck_train_bwd(res, cot)
-    from single_person_pose_estimation_tpu.ops.pallas import (
+    from single_person_pose_estimation_tpu.experimental import (
         bottleneck_train_kernel as ker,
     )
     orig = ker.resolve_nimg
@@ -154,7 +154,7 @@ def test_pallas_bwd_multiblock_grid():
 def test_pallas_fwd_multiblock_grid():
     """Batch larger than the per-step block: the stat accumulation across
     sequential grid steps must equal the single-pass stats."""
-    from single_person_pose_estimation_tpu.ops.pallas import (
+    from single_person_pose_estimation_tpu.experimental import (
         bottleneck_train_kernel as ker,
     )
 

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from single_person_pose_estimation_tpu import losses
-from single_person_pose_estimation_tpu.models.fused_train import (
+from single_person_pose_estimation_tpu.experimental.fused_train import (
     fused_train_apply,
 )
 from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass

@@ -8,10 +8,10 @@ import pytest
 
 from single_person_pose_estimation_tpu.ops.decode import decode_batch
 from single_person_pose_estimation_tpu.ops.heatmap import render_heatmaps_batch
-from single_person_pose_estimation_tpu.ops.pallas.decode_kernel import (
+from single_person_pose_estimation_tpu.experimental.decode_kernel import (
     decode_batch_pallas,
 )
-from single_person_pose_estimation_tpu.ops.pallas.heatmap_kernel import (
+from single_person_pose_estimation_tpu.experimental.heatmap_kernel import (
     render_heatmaps_batch_pallas,
 )
 
