@@ -330,7 +330,11 @@ def bench_eval_from_records(batch=128, flip_test=False, model=None,
 
     root = "/tmp/spe_bench_records"
     _ensure_bench_records(root)
-    cfg = Config().replace(dataset_dir=root, batch_size=batch)
+    # uint8 eval wire: the f32 form is 100 MB per 128-batch and binds the
+    # tunneled wire at ~40 img/s; quantized crops are 4x lighter and the
+    # predict fn normalizes on device (PERF.md "Eval from records").
+    cfg = Config().replace(dataset_dir=root, batch_size=batch,
+                           eval_transfer_dtype="uint8")
     builder = DatasetBuilder(cfg)
     n = builder.num_valid_examples
 

@@ -100,6 +100,12 @@ class Config:
     # device — 4x less transfer; <=0.5/255 per-pixel quantization, the same
     # trade serving.PoseServer makes on its wire).
     train_transfer_dtype: str = "float32"
+    # Same dial for the PREDICTION path (get_ds_prediction ->
+    # evaluation.predict_ds): f32 crops are 100 MB per 128-batch on the
+    # wire, 4x the uint8 form — on wire-bound links (tunnels; congested
+    # PCIe) eval throughput scales with it (PERF.md "Eval from records").
+    # Default float32 = reference numerics; decode shifts are sub-0.1 px.
+    eval_transfer_dtype: str = "float32"
     # Host-side decode workers (JPEG decode + resize release the GIL, so
     # threads scale across cores). 0 = auto: min(4, cpu_count - 1), serial
     # on a single-core host.
@@ -154,6 +160,7 @@ class Config:
         # select the fallback path instead of erroring.
         _enums = {
             "train_transfer_dtype": ("float32", "uint8"),
+            "eval_transfer_dtype": ("float32", "uint8"),
             "compute_dtype": ("float32", "bfloat16"),
             "param_dtype": ("float32", "bfloat16"),
             "front_s2d": ("off", "auto", "on"),

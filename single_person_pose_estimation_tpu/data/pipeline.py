@@ -80,8 +80,18 @@ def _parse_prediction_example(record: bytes, config: Config):
     ex = example_codec.decode_example(record)
     K = config.num_keypoints
     img = decode_jpeg(ex["image"][0])
+    if getattr(config, "eval_transfer_dtype", "float32") == "uint8":
+        # uint8 wire: ship the quantized crop, normalize on device
+        # (make_predict_decode_fn) — 4x less host->device traffic, the
+        # same trade the training path and PoseServer make.
+        img = resize_bilinear_u8(
+            img, (config.image_height, config.image_width))
+        return img, _prediction_meta(ex, config, K)
     img = resize_bilinear(img, (config.image_height, config.image_width)) / 255.0
+    return img.astype(np.float32), _prediction_meta(ex, config, K)
 
+
+def _prediction_meta(ex, config: Config, K: int):
     def fixed(vals, dtype):
         arr = np.zeros((K,), dtype=dtype)
         arr[:min(K, len(vals))] = vals[:K]
@@ -117,7 +127,7 @@ def _parse_prediction_example(record: bytes, config: Config):
         "frame_h": stored_h,
         "original_bbox": original_bbox,
     }
-    return img.astype(np.float32), meta
+    return meta
 
 
 def _stack_batch(examples: Sequence[Dict[str, np.ndarray]]):

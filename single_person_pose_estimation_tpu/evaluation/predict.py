@@ -86,6 +86,10 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
     flip_perm = _flip_permutation(model.num_classes, flip_pairs)
 
     def fn(params, batch_stats, images):
+        if images.dtype == jnp.uint8:
+            # uint8 wire (config.eval_transfer_dtype): 4x less
+            # host->device traffic; normalize on device.
+            images = images.astype(jnp.float32) / 255.0
         variables = {"params": params, "batch_stats": batch_stats}
         # Backend policy (fused vs flax, incl. the auto >256px fallback)
         # is shared with serving.PoseServer via forward_last_stack.
@@ -140,18 +144,36 @@ def predict_ds(
                                 decode_version, flip_test=flip_test,
                                 flip_pairs=flip_pairs, mesh=mesh)
     dsize = int(mesh.shape["data"]) if mesh is not None else 1
-    predictions: List[dict] = []
-    for images, metas in ds_prediction:
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        img_target = NamedSharding(mesh, P("data", None, None, None))
+    else:
+        img_target = None
+
+    def _put(pair):
+        # Runs on the DevicePrefetcher transfer thread: pad the (final
+        # partial) batch to the data-axis size if meshed, then start the
+        # host->device copy of batch N+1 while batch N's forward runs —
+        # the wire is the eval bound on tunneled/wire-limited hosts
+        # (PERF.md "Eval from records").
+        images, metas = pair
         n = images.shape[0]
         if mesh is not None and n % dsize:
-            # Pad the (final partial) batch up to the data-axis size so it
-            # shards evenly; the padded rows' outputs are sliced away.
             pad = dsize - n % dsize
             images = np.concatenate(
                 [images, np.zeros((pad,) + images.shape[1:],
                                   images.dtype)], axis=0)
-        kps = np.asarray(fn(state.params, state.batch_stats,
-                            jnp.asarray(images)))[:n]
+        return jax.device_put(images, img_target), metas, n
+
+    from single_person_pose_estimation_tpu.data.device_prefetch import (
+        DevicePrefetcher,
+    )
+
+    predictions: List[dict] = []
+    for images, metas, n in DevicePrefetcher(iter(ds_prediction), depth=2,
+                                             put_fn=_put):
+        kps = np.asarray(fn(state.params, state.batch_stats, images))[:n]
         # decode returns heatmap-space coords; normalize by heatmap dims
         # (the model's label resolution is input/4 by construction).
         hm_h = images.shape[1] // 4

@@ -593,3 +593,49 @@ def test_predict_ds_mesh_sharded_matches_single_device():
         np.testing.assert_allclose(a["xs/pred"], b["xs/pred"], atol=1e-4)
         np.testing.assert_allclose(a["ys/pred"], b["ys/pred"], atol=1e-4)
         np.testing.assert_allclose(a["confs"], b["confs"], atol=1e-5)
+
+
+def test_predict_ds_uint8_wire_matches_float32(tmp_path):
+    """eval_transfer_dtype='uint8' (quantized crops on the wire, /255 on
+    device — 4x less host->device traffic, the eval analog of the train
+    path's uint8 wire) must decode keypoints within the sub-pixel band of
+    the f32 wire: the only difference is <=0.5/255 input quantization +
+    the uint8 fixed-point resize."""
+    import jax
+    from single_person_pose_estimation_tpu.data import coco, pipeline
+    from single_person_pose_estimation_tpu.evaluation.predict import predict_ds
+    from single_person_pose_estimation_tpu.models.hourglass import StackedHourglass
+    from single_person_pose_estimation_tpu.training import steps as steps_lib
+    from test_data import make_synthetic_coco
+
+    root = str(tmp_path / "dataset")
+    make_synthetic_coco(root, "train2017", n_images=1, people_per=1)
+    make_synthetic_coco(root, "val2017", n_images=3, people_per=1)
+    cfg = Config().replace(dataset_dir=root, batch_size=2,
+                           num_examples_per_record=5,
+                           image_height=64, image_width=64,
+                           label_height=16, label_width=16)
+    coco.gen_trainval_records(cfg)
+
+    model = StackedHourglass(num_stacks=1, num_channels=16)
+    tx = steps_lib.make_optimizer(1e-3)
+    state = steps_lib.TrainState.create(model, tx, jax.random.PRNGKey(0),
+                                        input_shape=(1, 64, 64, 3))
+
+    builder32 = pipeline.DatasetBuilder(cfg)
+    p32 = predict_ds(model, state, builder32.get_ds_prediction(),
+                     conf_threshold=0.0, save_path=None)
+    cfg8 = cfg.replace(eval_transfer_dtype="uint8")
+    builder8 = pipeline.DatasetBuilder(cfg8)
+    p8 = predict_ds(model, state, builder8.get_ds_prediction(),
+                    conf_threshold=0.0, save_path=None)
+
+    assert len(p8) == len(p32) == 3
+    for a, b in zip(p8, p32):
+        assert a["ann_id"] == b["ann_id"]
+        # Original-image pixel coords; the random-init model's argmax can
+        # legitimately move a cell under quantization on near-flat maps,
+        # so bound the MEAN shift, not the max.
+        dx = np.abs(np.array(a["xs/pred"]) - np.array(b["xs/pred"]))
+        dy = np.abs(np.array(a["ys/pred"]) - np.array(b["ys/pred"]))
+        assert float(np.mean(dx + dy)) < 2.0, (dx, dy)

@@ -225,7 +225,10 @@ def test_tf_written_full_schema_through_pipeline(tmp_path):
         "keypoints/x": fl(xs), "keypoints/y": fl(ys),
         "keypoints/vis": il(vs), "keypoints/num": il([K]),
         "bbox_x": fl([-3.5]), "bbox_y": fl([10.0]),
-        "original_bbox": fl([1.0, 2.0, 30.0, 40.0]),
+        # ETL-consistent: crop side == int(max(w, h) * bbox_scale)
+        # == int(64 * 1.25) == 80, like every genuine reference shard
+        # (gen_tfrecords.py:27,77-78 computes both from the same square).
+        "original_bbox": fl([1.0, 2.0, 30.0, 64.0]),
     }))
     path = str(tmp_path / "ref_style.tfrec")
     with tf.io.TFRecordWriter(path) as w:
@@ -246,4 +249,4 @@ def test_tf_written_full_schema_through_pipeline(tmp_path):
     img, meta = pipeline._parse_prediction_example(record, cfg)
     assert meta["ann_id"] == 42 and meta["image_id"] == 7
     assert meta["bbox_x"] == -3.5 and meta["bbox_w"] == 80
-    np.testing.assert_allclose(meta["original_bbox"], [1, 2, 30, 40])
+    np.testing.assert_allclose(meta["original_bbox"], [1, 2, 30, 64])
