@@ -126,9 +126,13 @@ class Config:
     # Keypoints are stored scaled into the resized frame, so the training
     # pipeline is unchanged; evaluation recovers the true square-crop side
     # from original_bbox for its un-crop mapping (pipeline.py
-    # _parse_prediction_example) — but the host then decodes record_size^2
-    # JPEGs instead of native-size crops, and the host input stage is the
-    # end-to-end train-loop bound on small hosts (PERF.md, from-records).
+    # _parse_prediction_example). The host decodes record_size^2 JPEGs
+    # instead of native-size crops: measured 2.70x host-pipeline
+    # throughput at 256 vs native-400 crops (interleaved medians,
+    # scripts/bench_record_size_ab.py; PERF.md "record_image_size A/B").
+    # Set to image_height when the host input stage binds training (small
+    # hosts); 0 keeps full-resolution crops, which larger input sizes or
+    # future re-crops could still consume.
     record_image_size: int = 0
     seed: int = 0
     mesh_shape: Tuple[int, ...] = (-1,)        # -1: all available devices
