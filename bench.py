@@ -319,7 +319,9 @@ def bench_eval_from_records(batch=128, flip_test=False, model=None,
     decode pool as training) -> fused on-device forward+decode -> host
     un-crop + JSON record assembly, i.e. the full evaluation.predict_ds
     path the reference runs per-example in Python (eval.py:99-146).
-    Returns (images_per_sec, host_only_images_per_sec)."""
+    Returns (images_per_sec, host_only_images_per_sec,
+    wire_images_per_sec) — the wire probe sized to the eval batch so
+    eval_vs_bound in the artifact explains which stage binds."""
     from single_person_pose_estimation_tpu.configs.default_config import Config
     from single_person_pose_estimation_tpu.data.pipeline import DatasetBuilder
     from single_person_pose_estimation_tpu.evaluation.predict import predict_ds
@@ -358,7 +360,8 @@ def bench_eval_from_records(batch=128, flip_test=False, model=None,
                        save_path=None, flip_test=flip_test)
     dt = time.perf_counter() - t0
     assert len(preds) == n, (len(preds), n)
-    return n / dt, host_rate
+    wire_rate, _ = bench_wire(batch=batch, dtype="uint8")
+    return n / dt, host_rate, wire_rate
 
 
 def main():
@@ -406,12 +409,16 @@ def main():
             result["records_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     if os.environ.get("BENCH_EVAL") != "0":
         try:
-            rate, host_rate = bench_eval_from_records()
+            rate, host_rate, wire_rate = bench_eval_from_records()
             result["eval_from_records_images_per_sec"] = round(rate, 1)
             result["eval_host_pipeline_images_per_sec"] = round(host_rate, 1)
-            rate_f, _ = bench_eval_from_records(flip_test=True)
+            result["eval_wire_images_per_sec"] = round(wire_rate, 1)
+            bound = min(host_rate, wire_rate)
+            result["eval_vs_bound"] = round(rate / bound, 3)
+            rate_f, _, _ = bench_eval_from_records(flip_test=True)
             result["eval_from_records_fliptta_images_per_sec"] = round(
                 rate_f, 1)
+            result["eval_fliptta_vs_bound"] = round(rate_f / bound, 3)
         except Exception as e:  # pragma: no cover - transient env failures
             result["eval_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
