@@ -132,6 +132,53 @@ def test_hsv_matches_tf():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_warp_image_matches_tf_projective_transform():
+    """Image-level oracle for the fused affine warp (PARITY.md deviation
+    #2: imgaug itself is absent, but the warp must still be a CORRECT
+    bilinear affine): `_warp_image`'s flip->scale->rotate-about-center
+    inverse map, expressed as TF's output->input transform vector, must
+    reproduce tf.raw_ops.ImageProjectiveTransformV3 (an independent
+    third-party bilinear-affine implementation with the same
+    constant-zero fill semantics) pixel-for-pixel."""
+    import pytest
+    tf = pytest.importorskip("tensorflow")
+
+    rng = np.random.default_rng(7)
+    H, W = 37, 29
+    img = rng.uniform(0.0, 1.0, (H, W, 3)).astype(np.float32)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+
+    cases = [(1.0, 0.0, False), (0.8, 17.0, False), (1.2, -25.0, True),
+             (0.75, 30.0, True), (1.25, -30.0, False), (1.0, 0.0, True)]
+    for s, deg, flip in cases:
+        theta = np.deg2rad(deg)
+        got = np.asarray(augment._warp_image(
+            jnp.asarray(img), jnp.float32(s), jnp.float32(theta),
+            jnp.asarray(flip)))
+
+        # Our inverse map (augment.py _warp_image):
+        #   x_in = f * inv_s * ( cos*(x_out-cx) + sin*(y_out-cy)) + cx
+        #   y_in =     inv_s * (-sin*(x_out-cx) + cos*(y_out-cy)) + cy
+        # with f = -1 on flip; TF's transform is [a0 a1 a2 b0 b1 b2 c0 c1]
+        # mapping output (x, y) -> input (a0 x + a1 y + a2, b0 x + b1 y + b2).
+        inv_s = 1.0 / s
+        f = -1.0 if flip else 1.0
+        a0 = f * inv_s * np.cos(theta)
+        a1 = f * inv_s * np.sin(theta)
+        a2 = cx - a0 * cx - a1 * cy
+        b0 = -inv_s * np.sin(theta)
+        b1 = inv_s * np.cos(theta)
+        b2 = cy - b0 * cx - b1 * cy
+        transform = np.asarray(
+            [[a0, a1, a2, b0, b1, b2, 0.0, 0.0]], np.float32)
+        want = tf.raw_ops.ImageProjectiveTransformV3(
+            images=img[None], transforms=transform, output_shape=[H, W],
+            fill_value=0.0, interpolation="BILINEAR",
+            fill_mode="CONSTANT").numpy()[0]
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=f"s={s} deg={deg} flip={flip}")
+
+
 def test_augment_batch_shapes():
     B = 4
     key = jax.random.PRNGKey(7)
