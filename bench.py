@@ -261,7 +261,11 @@ def bench_train_from_records(batch=64, iters=25, wire="float32",
     builder = DatasetBuilder(cfg)
 
     # Stage probe 1: host pipeline alone (read+decode+resize+stack).
-    it, _ = builder.build_datasets()
+    # Close the unused valid iterator IMMEDIATELY: its prefetch thread
+    # otherwise decodes ~5 f32 batches concurrently with the timed
+    # probes on the 1-core host, contaminating them (code-review r4).
+    it, vit = builder.build_datasets()
+    vit.close()
     next(it)  # spin up
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -278,12 +282,14 @@ def bench_train_from_records(batch=64, iters=25, wire="float32",
     state = steps.TrainState.create(model, tx, jax.random.PRNGKey(0))
     train_step = steps.make_train_step(model, tx, losses.iou, cfg,
                                        augment=True)
-    it, _ = builder.build_datasets()
+    it, vit = builder.build_datasets()
+    vit.close()
     dp = device_prefetch(it, depth=2)
     state, m = train_step(state, next(dp))  # compile
     float(m["loss"])
-    # Reset stage counters after warmup so they cover the timed window.
-    dp.host_wait_s = dp.put_s = dp.consumer_wait_s = 0.0
+    # Snapshot stage counters after warmup and subtract at report time —
+    # resetting them would race the producer thread's unlocked +=.
+    host0, put0, wait0 = dp.host_wait_s, dp.put_s, dp.consumer_wait_s
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = train_step(state, next(dp))
@@ -299,10 +305,11 @@ def bench_train_from_records(batch=64, iters=25, wire="float32",
         # Per-iteration breakdown (ms) over the timed window: where the
         # transfer thread waited on the host pipeline, how long device_put
         # took, and how long the step loop waited for a ready batch.
-        "records_host_wait_ms": round(1e3 * dp.host_wait_s / iters, 1),
-        "records_put_ms": round(1e3 * dp.put_s / iters, 1),
+        "records_host_wait_ms": round(
+            1e3 * (dp.host_wait_s - host0) / iters, 1),
+        "records_put_ms": round(1e3 * (dp.put_s - put0) / iters, 1),
         "records_consumer_wait_ms": round(
-            1e3 * dp.consumer_wait_s / iters, 1),
+            1e3 * (dp.consumer_wait_s - wait0) / iters, 1),
         "records_iter_ms": round(1e3 * dt / iters, 1),
     }
     bounds = [host_rate, wire_rate] + ([step_rate] if step_rate else [])
@@ -313,15 +320,17 @@ def bench_train_from_records(batch=64, iters=25, wire="float32",
 
 
 def bench_eval_from_records(batch=128, flip_test=False, model=None,
-                            state=None):
+                            state=None, probes=True):
     """Evaluation throughput FROM RECORD SHARDS (VERDICT r3 Weak #4 /
     Next #5): threaded host decode (get_ds_prediction now rides the same
     decode pool as training) -> fused on-device forward+decode -> host
     un-crop + JSON record assembly, i.e. the full evaluation.predict_ds
     path the reference runs per-example in Python (eval.py:99-146).
     Returns (images_per_sec, host_only_images_per_sec,
-    wire_images_per_sec) — the wire probe sized to the eval batch so
-    eval_vs_bound in the artifact explains which stage binds."""
+    wire_images_per_sec, model, state) — the wire probe sized to the
+    eval batch so eval_vs_bound in the artifact explains which stage
+    binds. probes=False skips the host/wire probes (returns None for
+    both) — the flip-TTA leg reuses the first call's."""
     from single_person_pose_estimation_tpu.configs.default_config import Config
     from single_person_pose_estimation_tpu.data.pipeline import DatasetBuilder
     from single_person_pose_estimation_tpu.evaluation.predict import predict_ds
@@ -341,10 +350,12 @@ def bench_eval_from_records(batch=128, flip_test=False, model=None,
     n = builder.num_valid_examples
 
     # Host prediction pipeline alone (threaded decode/resize + meta).
-    ds = builder.get_ds_prediction()
-    t0 = time.perf_counter()
-    seen = sum(imgs.shape[0] for imgs, _ in ds)
-    host_rate = seen / (time.perf_counter() - t0)
+    host_rate = None
+    if probes:
+        ds = builder.get_ds_prediction()
+        t0 = time.perf_counter()
+        seen = sum(imgs.shape[0] for imgs, _ in ds)
+        host_rate = seen / (time.perf_counter() - t0)
 
     if model is None:
         model = StackedHourglass(num_stacks=4, num_channels=256,
@@ -360,8 +371,10 @@ def bench_eval_from_records(batch=128, flip_test=False, model=None,
                        save_path=None, flip_test=flip_test)
     dt = time.perf_counter() - t0
     assert len(preds) == n, (len(preds), n)
-    wire_rate, _ = bench_wire(batch=batch, dtype="uint8")
-    return n / dt, host_rate, wire_rate
+    wire_rate = None
+    if probes:
+        wire_rate, _ = bench_wire(batch=batch, dtype="uint8")
+    return n / dt, host_rate, wire_rate, model, state
 
 
 def main():
@@ -409,13 +422,15 @@ def main():
             result["records_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     if os.environ.get("BENCH_EVAL") != "0":
         try:
-            rate, host_rate, wire_rate = bench_eval_from_records()
+            rate, host_rate, wire_rate, emodel, estate = \
+                bench_eval_from_records()
             result["eval_from_records_images_per_sec"] = round(rate, 1)
             result["eval_host_pipeline_images_per_sec"] = round(host_rate, 1)
             result["eval_wire_images_per_sec"] = round(wire_rate, 1)
             bound = min(host_rate, wire_rate)
             result["eval_vs_bound"] = round(rate / bound, 3)
-            rate_f, _, _ = bench_eval_from_records(flip_test=True)
+            rate_f, _, _, _, _ = bench_eval_from_records(
+                flip_test=True, model=emodel, state=estate, probes=False)
             result["eval_from_records_fliptta_images_per_sec"] = round(
                 rate_f, 1)
             result["eval_fliptta_vs_bound"] = round(rate_f / bound, 3)

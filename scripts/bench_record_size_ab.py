@@ -38,7 +38,11 @@ def host_rate(root, size):
     cfg = Config().replace(dataset_dir=root, batch_size=BATCH,
                            train_transfer_dtype="uint8")
     builder = DatasetBuilder(cfg)
-    it, _ = builder.build_datasets()
+    it, vit = builder.build_datasets()
+    # Close the unused valid iterator BEFORE timing: its prefetch thread
+    # otherwise decodes ~5 f32 batches during the timed window — heavier
+    # in the native-400 arm, which biased the ratio (code-review r4).
+    vit.close()
     next(it)  # spin up the decode pool + prefetch thread
     t0 = time.perf_counter()
     for _ in range(ITERS):

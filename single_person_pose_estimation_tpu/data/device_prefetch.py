@@ -19,21 +19,24 @@ receives device-resident arrays, so its dispatch is instant and the three
 stages — host decode, wire, device step — overlap; steady-state throughput
 approaches min(host, wire, step) instead of their serial sum.
 
-Wait-time accounting is built in (`host_wait_s` on the transfer thread,
-`get_wait_s` on the consumer side) so bench.py can report *which* stage
+The thread/queue/sentinel machinery is `data.pipeline._Prefetcher`'s —
+this class only supplies the device-put map step (run ON the producer
+thread, which is what moves the copy off the step loop) and source-close
+propagation. Wait-time accounting (`host_wait_s`, `put_s`,
+`consumer_wait_s`) comes with it, so bench.py can report *which* stage
 binds from the artifact alone.
 """
 
 from __future__ import annotations
 
-import queue
-import threading
 from typing import Callable, Iterator, Optional
 
 import jax
 
+from single_person_pose_estimation_tpu.data.pipeline import _Prefetcher
 
-class DevicePrefetcher:
+
+class DevicePrefetcher(_Prefetcher):
     """Wrap a host batch iterator; yield device-resident batches.
 
     Args:
@@ -48,84 +51,25 @@ class DevicePrefetcher:
 
     The transfer thread exits when the source iterator ends or `close()`
     is called; producer exceptions re-raise at the consumer's `next()`.
+    `on_stop` (e.g. the source iterator's close) runs ON the producer
+    thread when it exits — the thread that owns the source generator, so
+    closing a raw generator is safe (calling gen.close() from the
+    consumer thread while the producer is inside next(it) raises
+    "generator already executing").
     """
 
-    _SENTINEL = object()
-
     def __init__(self, it: Iterator, depth: int = 2,
-                 put_fn: Optional[Callable] = None, device=None):
-        if depth < 1:
-            raise ValueError(f"depth must be >= 1: {depth}")
+                 put_fn: Optional[Callable] = None, device=None,
+                 on_stop: Optional[Callable] = None):
         if put_fn is None:
             def put_fn(batch):
                 return jax.device_put(batch, device)
-        self._put = put_fn
-        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
-        self._stop = threading.Event()
-        self._error: Optional[BaseException] = None
-        # Stage-time accounting (seconds, cumulative).
-        self.host_wait_s = 0.0      # transfer thread blocked on next(it)
-        self.put_s = 0.0            # time inside device_put (wire enqueue)
-        self.consumer_wait_s = 0.0  # consumer blocked on the queue
-        self.batches = 0
-        self._thread = threading.Thread(target=self._run, args=(it,),
-                                        daemon=True)
-        self._thread.start()
+        super().__init__(it, depth=depth, map_fn=put_fn, on_stop=on_stop)
 
-    def _run(self, it):
-        import time
-        try:
-            while not self._stop.is_set():
-                t0 = time.perf_counter()
-                try:
-                    batch = next(it)
-                except StopIteration:
-                    break
-                t1 = time.perf_counter()
-                dev_batch = self._put(batch)
-                t2 = time.perf_counter()
-                self.host_wait_s += t1 - t0
-                self.put_s += t2 - t1
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(dev_batch, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
-        except BaseException as e:
-            self._error = e
-        finally:
-            while not self._stop.is_set():
-                try:
-                    self._q.put(self._SENTINEL, timeout=0.2)
-                    break
-                except queue.Full:
-                    continue
-
-    def close(self) -> None:
-        self._stop.set()
-        src = getattr(self, "_src_close", None)
-        if src is not None:
-            src()
-
-    def __del__(self):
-        self._stop.set()
-
-    def __iter__(self):
-        return self
-
-    def __next__(self):
-        import time
-        t0 = time.perf_counter()
-        item = self._q.get()
-        self.consumer_wait_s += time.perf_counter() - t0
-        if item is self._SENTINEL:
-            if self._error is not None:
-                raise RuntimeError(
-                    "device prefetch producer failed") from self._error
-            raise StopIteration
-        self.batches += 1
-        return item
+    @property
+    def put_s(self) -> float:
+        """Cumulative seconds inside device_put (wire enqueue)."""
+        return self.map_s
 
 
 def device_prefetch(it: Iterator, depth: int = 2, mesh=None,
@@ -134,7 +78,8 @@ def device_prefetch(it: Iterator, depth: int = 2, mesh=None,
     mesh; pad-to-device-count + batch-shard with one (the device half of
     `Trainer._put_batch`, moved off the step loop's critical path)."""
     if mesh is None:
-        pf = DevicePrefetcher(it, depth=depth)
+        pf = DevicePrefetcher(it, depth=depth,
+                              on_stop=getattr(it, "close", None))
     else:
         import numpy as np
 
@@ -146,8 +91,6 @@ def device_prefetch(it: Iterator, depth: int = 2, mesh=None,
             batch, _ = mesh_lib.pad_batch_to_devices(batch, n_dev)
             return mesh_lib.shard_batch(batch, mesh)
 
-        pf = DevicePrefetcher(it, depth=depth, put_fn=put_fn)
-    # Propagate close() to the host-side prefetcher so abandoning the
-    # device iterator also reaps the decode thread/pool.
-    pf._src_close = getattr(it, "close", None)
+        pf = DevicePrefetcher(it, depth=depth, put_fn=put_fn,
+                              on_stop=getattr(it, "close", None))
     return pf

@@ -21,6 +21,7 @@ import glob
 import os
 import queue
 import threading
+import time
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -134,6 +135,22 @@ def _stack_batch(examples: Sequence[Dict[str, np.ndarray]]):
     return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
 
 
+def _make_decode_pool(config: Config, prefix: str):
+    """(pool, on_stop, workers) for the host decode stage. JPEG decode +
+    resize release the GIL, so a thread pool scales across host cores;
+    serial (pool=None) on a single-core host. on_stop reaps the workers
+    when the consuming iterator stops — otherwise every build leaks
+    `workers` idle threads for the process lifetime."""
+    workers = getattr(config, "host_workers", 0) or max(
+        1, min(4, (os.cpu_count() or 1) - 1))
+    if workers <= 1:
+        return None, None, workers
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(workers, thread_name_prefix=prefix)
+    return pool, (lambda: pool.shutdown(wait=False, cancel_futures=True)), \
+        workers
+
+
 def _pipelined_map(fn, it: Iterator, pool, depth: int):
     """Ordered parallel map with a bounded in-flight window (decode/resize
     release the GIL, so a thread pool scales across host cores)."""
@@ -155,30 +172,56 @@ class _Prefetcher:
     steps even on a single core. The producer polls a stop event while
     putting so abandoned iterators shut down cleanly at interpreter exit
     instead of dying blocked on a full queue.
+
+    `map_fn` (optional) is applied to each item ON the producer thread —
+    data.device_prefetch uses it for the host->device copy so batch N+1
+    moves over the wire while the device runs batch N.
+
+    Stage-time accounting (cumulative seconds) is built in so bench.py
+    can report which stage binds from the artifact alone: `host_wait_s`
+    (producer blocked on next(it)), `map_s` (inside map_fn),
+    `consumer_wait_s` (consumer blocked on the queue), `batches`.
     """
 
     _SENTINEL = object()
 
-    def __init__(self, it: Iterator, depth: int = 4, on_stop=None):
+    def __init__(self, it: Iterator, depth: int = 4, on_stop=None,
+                 map_fn=None):
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1: {depth}")
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._error: Optional[BaseException] = None
         self._on_stop = on_stop  # e.g. ThreadPoolExecutor.shutdown
+        self._map = map_fn
+        self.host_wait_s = 0.0
+        self.map_s = 0.0
+        self.consumer_wait_s = 0.0
+        self.batches = 0
         self._thread = threading.Thread(target=self._run, args=(it,),
                                         daemon=True)
         self._thread.start()
 
     def _run(self, it):
         try:
-            for item in it:
+            while not self._stop.is_set():
+                t0 = time.perf_counter()
+                try:
+                    item = next(it)
+                except StopIteration:
+                    break
+                t1 = time.perf_counter()
+                if self._map is not None:
+                    item = self._map(item)
+                t2 = time.perf_counter()
+                self.host_wait_s += t1 - t0
+                self.map_s += t2 - t1
                 while not self._stop.is_set():
                     try:
                         self._q.put(item, timeout=0.2)
                         break
                     except queue.Full:
                         continue
-                if self._stop.is_set():
-                    return
         except BaseException as e:
             # Surface producer failures (corrupt record, decode error) to
             # the consumer instead of masquerading as a clean end-of-data
@@ -211,12 +254,25 @@ class _Prefetcher:
         return self
 
     def __next__(self):
-        item = self._q.get()
+        t0 = time.perf_counter()
+        while True:
+            try:
+                item = self._q.get(timeout=0.5)
+                break
+            except queue.Empty:
+                # A producer stopped mid-put (close() raced its put loop)
+                # exits without delivering the sentinel; without this
+                # liveness check the consumer would block here forever.
+                if not self._thread.is_alive():
+                    item = self._SENTINEL
+                    break
+        self.consumer_wait_s += time.perf_counter() - t0
         if item is self._SENTINEL:
             if self._error is not None:
                 raise RuntimeError(
                     "data pipeline producer failed") from self._error
             raise StopIteration
+        self.batches += 1
         return item
 
 
@@ -293,18 +349,7 @@ class DatasetBuilder:
 
     def _batches(self, filenames, shuffle, repeat, training):
         cfg = self.config
-        workers = getattr(cfg, "host_workers", 0) or max(
-            1, min(4, (os.cpu_count() or 1) - 1))
-        pool = None
-        on_stop = None
-        if workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            pool = ThreadPoolExecutor(workers,
-                                      thread_name_prefix="spe-decode")
-            # Reap the decode workers when the iterator stops (close(),
-            # GC, or natural end) — otherwise every build_datasets() call
-            # leaks `workers` idle threads for the process lifetime.
-            on_stop = lambda: pool.shutdown(wait=False, cancel_futures=True)
+        pool, on_stop, workers = _make_decode_pool(cfg, "spe-decode")
 
         def gen():
             # Batch *within* an epoch then repeat — matching the reference's
@@ -353,15 +398,7 @@ class DatasetBuilder:
         inference at 3,100+ img/s — flip-TTA doubly so), then batches are
         handed over on a prefetch thread."""
         cfg = self.config
-        workers = getattr(cfg, "host_workers", 0) or max(
-            1, min(4, (os.cpu_count() or 1) - 1))
-        pool = None
-        on_stop = None
-        if workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            pool = ThreadPoolExecutor(workers,
-                                      thread_name_prefix="spe-pred")
-            on_stop = lambda: pool.shutdown(wait=False, cancel_futures=True)
+        pool, on_stop, workers = _make_decode_pool(cfg, "spe-pred")
 
         def gen():
             stream = self._record_stream(self.valid_filenames,

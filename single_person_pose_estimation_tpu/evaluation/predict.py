@@ -60,16 +60,28 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
     ~5.4 s flip-TTA per call through the TPU tunnel, measured — the r4
     eval bench spent a third of its timed run there). All key parts are
     hashable: flax Modules are frozen dataclasses, Mesh hashes by
-    (devices, axis_names)."""
+    (devices, axis_names).
+
+    use_fused="auto" is resolved against the CURRENT backend BEFORE the
+    cache lookup — a platform switch mid-process (e.g. the dryrun's
+    forced CPU mesh after a TPU init) re-resolves instead of replaying a
+    fused-path program the new backend cannot compile."""
+    auto = use_fused == "auto"
+    if auto:
+        from single_person_pose_estimation_tpu.models.fused_inference import (
+            auto_use_fused,
+        )
+
+        use_fused = auto_use_fused(model)
     return _cached_predict_decode_fn(
-        model, conf_threshold, legacy, version, use_fused, interpret,
+        model, conf_threshold, legacy, version, use_fused, auto, interpret,
         flip_test, tuple(tuple(p) for p in flip_pairs), flip_shift, mesh)
 
 
 @lru_cache(maxsize=16)
 def _cached_predict_decode_fn(model, conf_threshold, legacy, version,
-                              use_fused, interpret, flip_test, flip_pairs,
-                              flip_shift, mesh):
+                              use_fused, auto, interpret, flip_test,
+                              flip_pairs, flip_shift, mesh):
     """Jitted (params, batch_stats, images) -> (B, K, 3) keypoints in
     heatmap pixel units, fusing forward + decode on device.
 
@@ -92,13 +104,9 @@ def _cached_predict_decode_fn(model, conf_threshold, legacy, version,
     params/stats replicate, and GSPMD data-parallelizes the forward +
     decode across chips (the same sharding PoseServer uses)."""
     from single_person_pose_estimation_tpu.models.fused_inference import (
-        auto_use_fused,
         forward_last_stack,
     )
 
-    auto = use_fused == "auto"
-    if auto:
-        use_fused = auto_use_fused(model)
     flip_perm = _flip_permutation(model.num_classes, flip_pairs)
 
     def fn(params, batch_stats, images):
@@ -187,8 +195,26 @@ def predict_ds(
     )
 
     predictions: List[dict] = []
-    for images, metas, n in DevicePrefetcher(iter(ds_prediction), depth=2,
-                                             put_fn=_put):
+    # Tie the source's lifetime to the prefetcher (closed on the producer
+    # thread when it exits) and ALWAYS close: an exception mid-eval must
+    # not strand the transfer thread holding two device-resident batches
+    # plus the decode pool.
+    pf = DevicePrefetcher(iter(ds_prediction), depth=2, put_fn=_put,
+                          on_stop=getattr(ds_prediction, "close", None))
+    try:
+        predictions = _predict_loop(pf, fn, state)
+    finally:
+        pf.close()
+
+    if save_path:
+        with open(save_path, "w") as f:
+            json.dump(predictions, f)
+    return predictions
+
+
+def _predict_loop(pf, fn, state) -> List[dict]:
+    predictions: List[dict] = []
+    for images, metas, n in pf:
         kps = np.asarray(fn(state.params, state.batch_stats, images))[:n]
         # decode returns heatmap-space coords; normalize by heatmap dims
         # (the model's label resolution is input/4 by construction).
@@ -224,7 +250,4 @@ def predict_ds(
                     meta["original_bbox"]).astype(float).tolist(),
             })
 
-    if save_path:
-        with open(save_path, "w") as f:
-            json.dump(predictions, f)
     return predictions
