@@ -127,7 +127,7 @@ class Config:
     # pipeline is unchanged; evaluation recovers the true square-crop side
     # from original_bbox for its un-crop mapping (pipeline.py
     # _parse_prediction_example). The host decodes record_size^2 JPEGs
-    # instead of native-size crops: measured 2.70x host-pipeline
+    # instead of native-size crops: measured 2.09x host-pipeline
     # throughput at 256 vs native-400 crops (interleaved medians,
     # scripts/bench_record_size_ab.py; PERF.md "record_image_size A/B").
     # Set to image_height when the host input stage binds training (small
