@@ -51,39 +51,77 @@ from single_person_pose_estimation_tpu.training.trainer import Trainer
 
 ROOT = "/tmp/spe_iou_validate"
 SIZE = 256
-N_TRAIN, N_VALID = 128, 16
+N_TRAIN, N_VALID = 128, 20
 WARMUP_EPOCHS = 50      # x8 steps = 400 weighted_mse steps
 IOU_EPOCHS = 75         # x8 steps = 600 iou fine-tune steps
 
+# SPE_VALIDATE_SMOKE=1: tiny model / few epochs on forced CPU — checks the
+# script's plumbing (hard split, eval protocol, oracle agreement) without
+# hardware; the band/sensitivity gates become report-only (an undertrained
+# model has no mid-band AP to assert).
+SMOKE = os.environ.get("SPE_VALIDATE_SMOKE") == "1"
+if SMOKE:
+    N_TRAIN, N_VALID = 32, 10
+    WARMUP_EPOCHS, IOU_EPOCHS = 6, 6
 
-def marker_example(rng, idx):
+
+# Hard-split stored-crop sizes (cycled): the SAME trained model is scored
+# at areas from COCO-"medium" to far-"large", so APm/APl are non-degenerate
+# and a fixed heatmap-space decode error costs different OKS per scale.
+HARD_SIZES = (96, 128, 192, 256, 320)
+N_OCCLUDED = 4  # labeled-but-invisible keypoints per hard example
+
+
+def marker_example(rng, idx, size=SIZE, hard=False):
     """A noise image with 17 distinct color markers; keypoints at marker
     centers in crop-pixel space (the record format the ETL emits).
     Includes the prediction-path metadata (ids + un-crop geometry): the
     crop IS the square bbox anchored at the origin, so crop coords ==
-    original-image coords and the OKS GT can share them."""
-    img = rng.uniform(0, 255, (SIZE, SIZE, 3)).astype(np.uint8)
+    original-image coords and the OKS GT can share them.
+
+    hard=True (the held-out split, VERDICT r4 Next #1b): N_OCCLUDED
+    keypoints per example are labeled v=1 but NOT drawn — they count in
+    OKS/PCK yet carry no visual evidence, capping per-example OKS at
+    ~13/17 and pinning the gate in the discriminative mid-band — and the
+    remaining markers get size/contrast jitter so visible-keypoint
+    errors are non-trivial too. `size` = the stored crop resolution
+    (scale spread; the input pipeline resizes to the model input)."""
+    img = rng.uniform(0, 255, (size, size, 3)).astype(np.uint8)
     kx = np.zeros(17, np.float32)
     ky = np.zeros(17, np.float32)
+    vis = np.full(17, 2, np.int64)
     jx, jy = int(idx % 8), int((idx // 8) % 8)
+    s = size / 256.0
+    occluded = set(rng.choice(17, N_OCCLUDED, replace=False).tolist()) \
+        if hard else set()
     for k in range(17):
-        x = 32 + (k % 5) * 44 + jx
-        y = 32 + (k // 5) * 48 + jy
-        img[max(0, y - 5):y + 6, max(0, x - 5):x + 6] = [
-            255 * (k % 2), 255 * ((k // 2) % 2), (k * 15) % 255]
+        x = int(round((32 + (k % 5) * 44 + jx) * s))
+        y = int(round((32 + (k // 5) * 48 + jy) * s))
         kx[k], ky[k] = x, y
+        if k in occluded:
+            vis[k] = 1
+            continue
+        half = max(1, int(round(5 * s)))
+        contrast = 1.0
+        if hard:
+            half = max(1, int(round(half * rng.uniform(0.6, 1.0))))
+            contrast = rng.uniform(0.55, 1.0)
+        color = np.array([255 * (k % 2), 255 * ((k // 2) % 2),
+                          (k * 15) % 255]) * contrast
+        img[max(0, y - half):y + half + 1,
+            max(0, x - half):x + half + 1] = color.astype(np.uint8)
     feats = {
         "ann_id": [1000 + idx], "image_id": [idx],
         "image": [encode_jpeg(img)],
-        "width": [float(SIZE)], "height": [float(SIZE)],
+        "width": [float(size)], "height": [float(size)],
         "bbox_x": [0.0], "bbox_y": [0.0],
         # original person bbox whose x1.25 square expansion = the crop.
-        "original_bbox": [0.0, 0.0, SIZE / 1.25, SIZE / 1.25],
+        "original_bbox": [0.0, 0.0, size / 1.25, size / 1.25],
         "keypoints/x": [float(v) for v in kx],
         "keypoints/y": [float(v) for v in ky],
-        "keypoints/vis": [2] * 17,
+        "keypoints/vis": [int(v) for v in vis],
     }
-    return feats, kx, ky
+    return feats, kx, ky, vis
 
 
 def write_dataset():
@@ -92,22 +130,26 @@ def write_dataset():
     shutil.rmtree(ROOT, ignore_errors=True)
     rng = np.random.default_rng(0)
     for split, n in (("train", N_TRAIN), ("valid", N_VALID)):
+        hard = split == "valid"
         d = os.path.join(ROOT, "tfrecords", split)
         os.makedirs(d, exist_ok=True)
         images, annotations = [], []
         with TFRecordWriter(
                 os.path.join(d, f"file_{split}_00-{n}.tfrec")) as w:
             for i in range(n):
-                feats, kx, ky = marker_example(rng, i)
+                size = HARD_SIZES[i % len(HARD_SIZES)] if hard else SIZE
+                feats, kx, ky, vis = marker_example(rng, i, size=size,
+                                                    hard=hard)
                 w.write(example_codec.encode_example(feats))
                 kps = []
                 for k in range(17):
-                    kps += [float(kx[k]), float(ky[k]), 2]
-                images.append({"id": i, "width": SIZE, "height": SIZE,
+                    kps += [float(kx[k]), float(ky[k]), int(vis[k])]
+                images.append({"id": i, "width": size, "height": size,
                                "file_name": f"{i:012d}.jpg"})
                 annotations.append({
                     "id": 1000 + i, "image_id": i, "iscrowd": 0,
-                    "bbox": [0.0, 0.0, SIZE / 1.25, SIZE / 1.25],
+                    "bbox": [0.0, 0.0, size / 1.25, size / 1.25],
+                    "area": (size / 1.25) ** 2,
                     "num_keypoints": 17, "keypoints": kps,
                     "category_id": 1})
         # COCO-format GT for the OKS gate (same layout the ETL reads).
@@ -121,12 +163,15 @@ def write_dataset():
 
 
 def main():
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
     write_dataset()
     cfg = Config().replace(
         dataset_dir=ROOT, temporary_dir=os.path.join(ROOT, "temp"),
         batch_size=16, checkpoint_every_epochs=25,
         async_checkpointing=False, shuffle_buffer=64)
-    model = StackedHourglass(num_stacks=4, num_channels=256,
+    stacks, channels = (2, 32) if SMOKE else (4, 256)
+    model = StackedHourglass(num_stacks=stacks, num_channels=channels,
                              compute_dtype=jnp.bfloat16)
 
     # Phase 1: weighted_mse warmup (gets the sigma=1 Gaussians roughly in
@@ -183,10 +228,15 @@ def main():
     print(f"decode err px(64-space): mean {err.mean():.2f} "
           f"max {err.max():.2f}", flush=True)
 
-    # Phase 3 (VERDICT r3 Next #6): the FULL evaluation protocol on the
-    # HELD-OUT valid split — fused predict + on-device decode + un-crop
-    # (evaluation/predict.py) scored by the native COCOeval-protocol OKS
-    # and PCK against the COCO-format GT written alongside the records.
+    # Phase 3 (VERDICT r3 Next #6, recalibrated r4 Next #1): the FULL
+    # evaluation protocol on the HARD held-out valid split — fused
+    # predict + on-device decode + un-crop (evaluation/predict.py)
+    # scored by the native COCOeval-protocol OKS and PCK. The split has
+    # N_OCCLUDED labeled-but-invisible keypoints per example plus
+    # scale/contrast spread, so a correct model lands in a MID-BAND AP
+    # (occlusion alone caps per-example OKS near 13/17 = 0.76 -> AP
+    # ~0.6 with perfect visible keypoints) instead of saturating at
+    # 1.000 — the gate asserts the band, not just a floor.
     from single_person_pose_estimation_tpu.configs.default_config import (
         COCO_KEYPOINT_LABELS,
     )
@@ -204,13 +254,122 @@ def main():
     pck = eval_pck(preds, COCO_KEYPOINT_LABELS, pck_threshold=0.05,
                    verbose=False)
     mean_pck = float(np.mean(pck))
-    print(f"held-out OKS AP {stats[0]:.3f} AP50 {stats[1]:.3f} "
+    print(f"held-out(HARD) OKS AP {stats[0]:.3f} AP50 {stats[1]:.3f} "
+          f"AP75 {stats[2]:.3f} APm {stats[3]:.3f} APl {stats[4]:.3f} "
           f"AR {stats[5]:.3f}; mean PCK@0.05 {mean_pck:.3f}", flush=True)
 
-    ok = (last_iou < first_iou * 0.8 and err.mean() < 2.0
-          and stats[0] > 0.70 and mean_pck > 0.80)
+    # Sensitivity legs (VERDICT r4 Next #1): the instrument must DETECT
+    # the bug classes it exists to catch, by the amount the independent
+    # brute-force oracle predicts from the same perturbed predictions.
+    sens = sensitivity_legs(preds, stats, cfg)
+
+    # Decode-variant delta, recorded while at it: legacy (reference
+    # bug-for-bug, the default above) vs corrected quarter-pixel decode.
+    preds_c = predict_ds(model, state,
+                         DatasetBuilder(cfg).get_ds_prediction(),
+                         conf_threshold=0.05, legacy_decode=False,
+                         save_path=None)
+    ap_corrected = float(eval_oks(preds_c, cfg.valid_annot_file,
+                                  verbose=False)[0])
+    print(f"decode variant: legacy AP {stats[0]:.3f} vs corrected AP "
+          f"{ap_corrected:.3f} (delta {ap_corrected - stats[0]:+.3f})",
+          flush=True)
+
+    band_ok = (0.25 <= stats[0] <= 0.90     # mid-band, NOT saturated
+               and stats[0] < 0.999
+               and stats[1] >= 0.70          # visible keypoints ARE found
+               and 0.45 <= mean_pck <= 0.97)
+    if SMOKE:
+        # Plumbing-only gate: the protocol ran end to end and both OKS
+        # implementations agree on every (un)perturbed prediction set.
+        print(f"[smoke] band_ok={band_ok} sens={sens} (report-only)",
+              flush=True)
+        ok = last_iou < first_iou and len(preds) == N_VALID
+    else:
+        ok = (last_iou < first_iou * 0.8 and err.mean() < 2.0
+              and band_ok and sens)
     print("VALIDATE_TRAIN_IOU_TPU:", "PASS" if ok else "FAIL", flush=True)
     sys.exit(0 if ok else 1)
+
+
+def sensitivity_legs(preds, base_stats, cfg) -> bool:
+    """Perturb the model's own predictions two ways a real decode bug
+    would and assert the gate moves by the oracle-predicted amount:
+
+      * +1 heatmap px (= 1/64 of the crop) systematic x-bias — the
+        decode-v2 class of bug; must cost AP measurably.
+      * left/right flip-pair swap — the broken-flip-table bug; must
+        crater AP.
+
+    Each perturbed set is scored by BOTH evaluation.oks.eval_oks and the
+    independent brute-force oracle (tests/oracle_cocoeval.py) on
+    identical detections; the two must agree to 1e-9, making the
+    measured delta a PREDICTED delta, not a coincidence of one
+    implementation."""
+    import copy
+    import json
+
+    from single_person_pose_estimation_tpu.evaluation.oks import eval_oks
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests"))
+    import oracle_cocoeval
+
+    with open(cfg.valid_annot_file) as f:
+        gt = json.load(f)
+
+    def oracle_stats(pred_list):
+        dets = []
+        for p in pred_list:
+            kps = []
+            for x, y in zip(p["xs/pred"], p["ys/pred"]):
+                kps += [int(x), int(y), 1]
+            dets.append({"image_id": int(p["image_id"]), "keypoints": kps,
+                         "score": float(np.mean(p["confs"]))})
+        img_ids = sorted({d["image_id"] for d in dets})
+        return np.asarray(oracle_cocoeval.evaluate(
+            gt["annotations"], dets, img_ids))
+
+    base_ap = float(base_stats[0])
+    agree = np.allclose(np.asarray(base_stats), oracle_stats(preds),
+                        atol=1e-9)
+    print(f"oracle agreement (unperturbed): {agree}", flush=True)
+
+    # Leg 1: +1 heatmap-pixel x-bias, scaled per example to its stored
+    # crop (bbox_w / 64 original px).
+    biased = copy.deepcopy(preds)
+    for p in biased:
+        step = float(p["original_bbox"][2]) * 1.25 / 64.0
+        p["xs/pred"] = [x + step for x in p["xs/pred"]]
+    ap_biased = float(eval_oks(biased, cfg.valid_annot_file,
+                               verbose=False)[0])
+    oracle_biased = float(oracle_stats(biased)[0])
+    bias_agree = abs(ap_biased - oracle_biased) < 1e-9
+    bias_detected = base_ap - ap_biased >= 0.02
+    print(f"sensitivity[1px-bias]: AP {base_ap:.3f} -> {ap_biased:.3f} "
+          f"(delta {ap_biased - base_ap:+.3f}, oracle {oracle_biased:.3f},"
+          f" agree={bias_agree}, detected={bias_detected})", flush=True)
+
+    # Leg 2: left/right flip-pair swap of the predictions.
+    swapped = copy.deepcopy(preds)
+    for p in swapped:
+        xs, ys = list(p["xs/pred"]), list(p["ys/pred"])
+        for a, b in cfg.flip_pairs:
+            xs[a], xs[b] = xs[b], xs[a]
+            ys[a], ys[b] = ys[b], ys[a]
+        p["xs/pred"], p["ys/pred"] = xs, ys
+    ap_swapped = float(eval_oks(swapped, cfg.valid_annot_file,
+                                verbose=False)[0])
+    oracle_swapped = float(oracle_stats(swapped)[0])
+    swap_agree = abs(ap_swapped - oracle_swapped) < 1e-9
+    swap_detected = base_ap - ap_swapped >= 0.10
+    print(f"sensitivity[flip-swap]: AP {base_ap:.3f} -> {ap_swapped:.3f} "
+          f"(delta {ap_swapped - base_ap:+.3f}, oracle "
+          f"{oracle_swapped:.3f}, agree={swap_agree}, "
+          f"detected={swap_detected})", flush=True)
+    return bool(agree and bias_agree and bias_detected
+                and swap_agree and swap_detected)
 
 
 if __name__ == "__main__":

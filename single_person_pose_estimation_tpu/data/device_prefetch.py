@@ -85,11 +85,26 @@ def device_prefetch(it: Iterator, depth: int = 2, mesh=None,
 
         from single_person_pose_estimation_tpu.parallel import mesh as mesh_lib
 
-        n_dev = n_pad_devices or int(np.prod(mesh.devices.shape))
+        if jax.process_count() > 1:
+            # Multi-process: this process's host iterator yields only its
+            # LOCAL shard of the global batch (DatasetBuilder
+            # process_index/process_count file sharding); assemble the
+            # global array from per-process locals. Pad to the LOCAL
+            # device count — every process must pad identically for the
+            # global shape to agree.
+            n_local = n_pad_devices or len(
+                [d for d in mesh.devices.flat
+                 if d.process_index == jax.process_index()])
 
-        def put_fn(batch):
-            batch, _ = mesh_lib.pad_batch_to_devices(batch, n_dev)
-            return mesh_lib.shard_batch(batch, mesh)
+            def put_fn(batch):
+                batch, _ = mesh_lib.pad_batch_to_devices(batch, n_local)
+                return mesh_lib.shard_local_batch(batch, mesh)
+        else:
+            n_dev = n_pad_devices or int(np.prod(mesh.devices.shape))
+
+            def put_fn(batch):
+                batch, _ = mesh_lib.pad_batch_to_devices(batch, n_dev)
+                return mesh_lib.shard_batch(batch, mesh)
 
         pf = DevicePrefetcher(it, depth=depth, put_fn=put_fn,
                               on_stop=getattr(it, "close", None))

@@ -33,13 +33,28 @@ def stack_metric_columns(train_metrics: Dict[str, float],
 
 
 class HistoryLogger:
-    """Accumulates per-epoch rows; writes the session CSV at the end."""
+    """Accumulates per-epoch rows; writes the session CSV at the end.
 
-    def __init__(self, logs_path: str):
+    Multi-process: only process 0 writes the shared-filesystem CSV/JSONL
+    (every process logs the same aggregated metrics — see
+    Trainer._run_validation — so concurrent writers would only duplicate
+    and interleave rows); non-primary processes still accumulate rows in
+    memory for their own session bookkeeping."""
+
+    def __init__(self, logs_path: str, primary: Optional[bool] = None):
+        if primary is None:
+            try:
+                import jax
+
+                primary = jax.process_index() == 0
+            except Exception:  # jax not initialized — single process
+                primary = True
+        self._primary = primary
         self.logs_path = logs_path
         self.rows: List[Dict[str, float]] = []
         os.makedirs(logs_path, exist_ok=True)
-        self._jsonl = open(os.path.join(logs_path, "metrics.jsonl"), "a")
+        self._jsonl = open(os.path.join(logs_path, "metrics.jsonl"), "a") \
+            if primary else None
 
     def log_epoch(self, epoch: int, row: Dict[str, float],
                   step_time_s: Optional[float] = None,
@@ -50,15 +65,16 @@ class HistoryLogger:
             record["step_time_s"] = step_time_s
         if images_per_sec is not None:
             record["images_per_sec"] = images_per_sec
-        self._jsonl.write(json.dumps(record) + "\n")
-        self._jsonl.flush()
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps(record) + "\n")
+            self._jsonl.flush()
 
     def write_session_csv(self, epochs: int, learning_rate: float) -> str:
         """`log_E{epochs}_lr{lr}.csv` with a leading index column, matching
         the reference's pandas to_csv output (trainer.py:60)."""
         path = os.path.join(self.logs_path,
                             f"log_E{epochs}_lr{learning_rate}.csv")
-        if not self.rows:
+        if not self.rows or not self._primary:
             return path
         cols = list(self.rows[0].keys())
         with open(path, "w", newline="") as f:
@@ -69,7 +85,8 @@ class HistoryLogger:
         return path
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
 
 
 def read_all_session_logs(logs_path: str) -> List[Dict[str, float]]:

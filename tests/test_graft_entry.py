@@ -105,7 +105,7 @@ def test_bench_main_survives_auxiliary_section_failures(monkeypatch, capsys):
     monkeypatch.setattr(bench, "bench_mobile_inference", boom)
     monkeypatch.setattr(bench, "bench_train_step", boom)
     monkeypatch.setattr(bench, "bench_train_from_records", boom)
-    monkeypatch.setattr(bench, "bench_eval_from_records", boom)
+    monkeypatch.setattr(bench, "bench_eval_section", boom)
     # bench.main() points the persistent compile cache at the bench dir;
     # restore the suite's cache config afterwards.
     old_cache = jax.config.jax_compilation_cache_dir
