@@ -104,7 +104,12 @@ class Config:
     # evaluation.predict_ds): f32 crops are 100 MB per 128-batch on the
     # wire, 4x the uint8 form — on wire-bound links (tunnels; congested
     # PCIe) eval throughput scales with it (PERF.md "Eval from records").
-    # Default float32 = reference numerics; decode shifts are sub-0.1 px.
+    # Default float32 = reference numerics. The uint8 wire's
+    # quantization-induced decode drift is bounded by test at <2 px MEAN
+    # in original-image coords on a random-init model
+    # (tests/test_eval.py::test_predict_ds_uint8_wire_matches_float32);
+    # on trained, peaked heatmaps the argmax is far less sensitive, but
+    # that tighter band is not what the test pins.
     eval_transfer_dtype: str = "float32"
     # Host-side decode workers (JPEG decode + resize release the GIL, so
     # threads scale across cores). 0 = auto: min(4, cpu_count - 1), serial

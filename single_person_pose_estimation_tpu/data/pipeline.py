@@ -246,6 +246,14 @@ class _Prefetcher:
 
     def close(self) -> None:
         self._stop.set()
+        # Best-effort direct sentinel so a blocked consumer wakes NOW
+        # instead of on its 0.5 s liveness poll (advisor r4); if the
+        # queue is full the consumer has items to drain and will hit the
+        # producer-exit path normally.
+        try:
+            self._q.put_nowait(self._SENTINEL)
+        except queue.Full:
+            pass
 
     def __del__(self):
         self._stop.set()

@@ -78,6 +78,16 @@ def make_predict_decode_fn(model, conf_threshold: float = 1e-6,
         flip_test, tuple(tuple(p) for p in flip_pairs), flip_shift, mesh)
 
 
+def clear_predict_cache() -> None:
+    """Drop all memoized predict fns (and with them their compiled
+    executables, Meshes, and device-resident constants). Call from any
+    backend-reset path — e.g. __graft_entry__._force_cpu_mesh does — or
+    from long-lived processes cycling many model configs (advisor r4:
+    the LRU otherwise pins up to 16 stale entries of device memory for
+    the process lifetime)."""
+    _cached_predict_decode_fn.cache_clear()
+
+
 @lru_cache(maxsize=16)
 def _cached_predict_decode_fn(model, conf_threshold, legacy, version,
                               use_fused, auto, interpret, flip_test,

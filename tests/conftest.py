@@ -24,6 +24,58 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: repeated test runs skip recompiles.
+# Persistent compilation cache: repeated test runs skip recompiles (the
+# multi-device CPU compiles dominate suite time on this 1-core host —
+# a warm cache is the difference between ~2h and tens of minutes).
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# ---------------------------------------------------------------------------
+# Two-tier suite (VERDICT r4 Weak #7 / Next #8). The files below carry the
+# expensive work — multi-device compiles, subprocess clusters, TF-oracle
+# sessions, training loops — and are marked `full` at collection:
+#
+#   smoke tier:  python -m pytest tests/ -m "not full" -q   (<15 min target)
+#   full tier:   python -m pytest tests/ -q                 (everything)
+#
+# Measured per-file durations: see CLAUDE.md "Workflow".
+# ---------------------------------------------------------------------------
+
+FULL_TIER_FILES = {
+    "test_parallel.py",          # 8-device mesh + 2-process clusters
+    "test_trainer.py",           # training loops incl. dp x tp mesh
+    "test_pipeline.py",          # GPipe shard_map compiles
+    "test_spatial.py",           # halo-exchange collectives
+    "test_spatial_model.py",     # H-sharded full-model forwards
+    "test_graft_entry.py",       # dryrun subprocesses (fresh compiles)
+    "test_parity_vs_reference_source.py",  # flagship S4/256 Keras build
+    "test_weight_import.py",     # TF/Keras sessions
+    "test_weight_import_files.py",
+    "test_tfrecord.py",          # TF both-direction oracle
+    "test_end_to_end.py",        # smoke trainings
+    "test_fused_train.py",       # fused-train equality compiles
+    "test_fused_inference.py",   # fused-path interpret-mode kernels
+    "test_augment.py",           # TF ImageProjectiveTransform oracle
+    "test_examples.py",          # example scripts end to end
+    "test_cli.py",               # CLI incl. serve/export end to end
+    "test_losses.py",            # TF formula oracle session
+    "test_eval.py",              # predict_ds integration + uint8 wire
+    "test_grad_accum.py",        # accum-step scan compiles
+    "test_serving_http.py",      # live HTTP server round trips
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full: expensive tier (multi-device compiles, clusters, TF "
+        "oracles, trainings) — deselect with -m 'not full' for the "
+        "smoke tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        if os.path.basename(str(item.fspath)) in FULL_TIER_FILES:
+            item.add_marker(_pytest.mark.full)
