@@ -18,8 +18,16 @@ import math
 
 SIGMAS = [.026, .025, .025, .035, .035, .079, .079, .072, .072,
           .062, .062, .107, .107, .087, .087, .089, .089]
-THRS = [0.5 + 0.05 * i for i in range(10)]
-RECALL_PTS = [i / 100.0 for i in range(101)]
+# The grids are PROTOCOL CONSTANTS incl. their exact float values:
+# pycocotools builds them with np.linspace, i.e. index*step + start with
+# the endpoint forced — `0.5 + 0.05*i` / `i/100.0` differ in the last
+# ULP at several entries (e.g. linspace 0.55000000000000004 vs 0.55),
+# and a recall value sitting exactly ON a grid point then interpolates
+# to a different precision column than the real protocol would
+# (measured: AP@0.55 0.948 vs 0.939 on a 20-image scene whose recall
+# steps are k/20). Reproduce linspace bit-exactly, scalar-first.
+THRS = [i * ((0.95 - 0.5) / 9) + 0.5 for i in range(9)] + [0.95]
+RECALL_PTS = [i * (1.0 / 100) for i in range(100)] + [1.0]
 MAX_DETS = 20
 AREAS = {"all": (0.0, 1e10), "medium": (32.0 ** 2, 96.0 ** 2),
          "large": (96.0 ** 2, 1e10)}
