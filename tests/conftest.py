@@ -62,6 +62,14 @@ FULL_TIER_FILES = {
     "test_eval.py",              # predict_ds integration + uint8 wire
     "test_grad_accum.py",        # accum-step scan compiles
     "test_serving_http.py",      # live HTTP server round trips
+    # Measured into the full tier (pytest --durations, 2026-08-20):
+    "test_model.py",             # ~10 min: grad-flow/remat/taps compiles
+    "test_train_extras.py",      # ~4 min: EMA/schedule end-to-end trains
+    "test_export.py",            # ~4 min: SavedModel/TFLite export
+    "test_serving.py",           # ~4 min: PoseServer bucket compiles
+    "test_space_to_depth.py",    # ~2 min: front-fold model equality
+    "test_baseline_configs.py",  # ~1.5 min: S8 paper-config build
+    "test_demo.py",              # ~1 min: checkpoint listing + predicts
 }
 
 
