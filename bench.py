@@ -208,19 +208,27 @@ def _ensure_bench_records(root, n_shards=8, per_shard=256, size=400):
     open(marker, "w").close()
 
 
-def bench_wire(batch=64, size=256, iters=6, dtype="uint8"):
+def bench_wire(batch=64, size=256, iters=6, dtype="uint8", buf=None):
     """Host->device transfer bound probe: repeated `jax.device_put` of a
     batch-sized buffer, drained by one tiny readback depending on every
     transfer. Returns (images_per_sec, MB_per_sec). Through the axon
     tunnel this is the axis that binds the from-records loop (~50 MB/s
     uint8); on real PCIe hosts it is ~100x higher and host decode binds
-    instead (PERF.md bound analysis)."""
+    instead (PERF.md bound analysis).
+
+    buf: optional REAL batch content from the pipeline being bounded —
+    random bytes are the worst case for the tunnel (real JPEG-decoded
+    crops compress ~13% under it, measured), so probing with
+    representative content tightens the bound. Even so the probe stays a
+    conservative LOWER bound: it serializes put+drain, while the
+    measured loops pipeline their puts."""
     import numpy as np
 
-    buf = np.random.default_rng(0).integers(
-        0, 255, (batch, size, size, 3),
-        dtype=np.uint8)
-    if dtype != "uint8":
+    if buf is None:
+        buf = np.random.default_rng(0).integers(
+            0, 255, (batch, size, size, 3),
+            dtype=np.uint8)
+    if dtype != "uint8" and buf.dtype == np.uint8:
         buf = (buf.astype(np.float32) / 255.0)
     # Warm the destination path (allocator, tunnel session).
     x = jax.device_put(buf)
@@ -238,16 +246,18 @@ def _host_probe(builder, batch, iters=8):
     """Short host-pipeline-only probe (read+decode+resize+stack). The
     unused valid iterator is closed IMMEDIATELY: its prefetch thread
     otherwise decodes f32 batches concurrently with the timed probe on
-    the 1-core host, contaminating it (code-review r4)."""
+    the 1-core host, contaminating it (code-review r4). Returns
+    (rate, sample_batch_images) — the sample feeds the wire probe with
+    representative content."""
     it, vit = builder.build_datasets()
     vit.close()
-    next(it)  # spin up
+    sample = next(it)["image"]  # spin up
     t0 = time.perf_counter()
     for _ in range(iters):
         next(it)
     rate = batch * iters / (time.perf_counter() - t0)
     it.close()
-    return rate
+    return rate, sample
 
 
 def _bracket(out, prefix, e2e_rate, pre_terms, post_terms):
@@ -270,6 +280,12 @@ def _bracket(out, prefix, e2e_rate, pre_terms, post_terms):
         out[f"{prefix}_bound_drift_note"] = (
             "pre/post bound probes disagree >20% — tunnel window moved "
             "during this leg; read vs_bound against the drift band")
+    elif out[f"{prefix}_vs_bound"] > 1.2:
+        out[f"{prefix}_bound_note"] = (
+            "e2e exceeds the probe bound: the wire probe is a serialized "
+            "put+drain LOWER bound while the measured loop pipelines its "
+            "puts — a conservative bound by construction, not a "
+            "regression signal")
     return out
 
 
@@ -307,9 +323,11 @@ def bench_train_from_records(batch=64, iters=25, wire="float32",
                            train_transfer_dtype=wire)
     builder = DatasetBuilder(cfg)
 
-    # Pre-leg probes: host pipeline alone, then wire alone.
-    host_pre = _host_probe(builder, batch)
-    wire_pre, wire_mbps_pre = bench_wire(batch=batch, dtype=wire)
+    # Pre-leg probes: host pipeline alone, then wire alone (with real
+    # batch content — see bench_wire).
+    host_pre, sample = _host_probe(builder, batch)
+    wire_pre, wire_mbps_pre = bench_wire(batch=batch, dtype=wire,
+                                         buf=sample)
 
     model = StackedHourglass(num_stacks=4, num_channels=256,
                              compute_dtype=jnp.bfloat16)
@@ -334,8 +352,9 @@ def bench_train_from_records(batch=64, iters=25, wire="float32",
     e2e_rate = batch * iters / dt
 
     # Post-leg probes, taken immediately after the timed window.
-    host_post = _host_probe(builder, batch)
-    wire_post, wire_mbps_post = bench_wire(batch=batch, dtype=wire)
+    host_post, _ = _host_probe(builder, batch)
+    wire_post, wire_mbps_post = bench_wire(batch=batch, dtype=wire,
+                                           buf=sample)
 
     out = {
         f"{prefix}_host_pipeline_images_per_sec": round(
@@ -366,31 +385,42 @@ def bench_train_from_records(batch=64, iters=25, wire="float32",
 def _eval_host_probe(builder):
     ds = builder.get_ds_prediction()
     t0 = time.perf_counter()
-    seen = sum(imgs.shape[0] for imgs, _ in ds)
-    return seen / (time.perf_counter() - t0)
+    seen, sample = 0, None
+    for imgs, _ in ds:
+        seen += imgs.shape[0]
+        if sample is None:
+            sample = imgs
+    return seen / (time.perf_counter() - t0), sample
 
 
-def _eval_device_probe(model, state, batch, flip_test=False, iters=4):
+def _eval_device_probe(model, state, batch, flip_test=False, iters=8):
     """Device forward+decode rate (the term the r4 eval bound OMITTED —
-    advisor r4 / VERDICT Weak #2): the same memoized jitted fn
-    predict_ds dispatches, chained through a scalar dependency and
-    drained by one readback."""
+    advisor r4 / VERDICT Weak #2): the predict_ds program chained
+    through a scalar dependency and drained by one readback. The WHOLE
+    per-iteration composite (dependency multiply + forward + decode +
+    mean) is one jit — eager ops between jitted calls cost ~25-50 ms
+    EACH through the tunnel (measured: an un-jitted chain read 842
+    img/s where the device does ~3,000), the same per-op dispatch trap
+    PERF.md's methodology notes warn about."""
     from single_person_pose_estimation_tpu.evaluation.predict import (
         make_predict_decode_fn,
     )
 
     fn = make_predict_decode_fn(model, flip_test=flip_test)
+
+    @jax.jit
+    def dep(params, batch_stats, images, prev):
+        out = fn(params, batch_stats, images * (1.0 + 1e-6 * prev))
+        return jnp.mean(out)
+
     images = jax.device_put(jax.random.uniform(
         jax.random.PRNGKey(5), (batch, 256, 256, 3), jnp.float32))
-    prev = jnp.zeros(())
-    out = fn(state.params, state.batch_stats, images * (1.0 + 1e-6 * prev))
-    float(out.sum())  # warmup: compile + drain
+    prev = dep(state.params, state.batch_stats, images, jnp.zeros(()))
+    float(prev)  # warmup: compile + drain
     prev = jnp.zeros(())
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(state.params, state.batch_stats,
-                 images * (1.0 + 1e-6 * prev))
-        prev = jnp.mean(out)
+        prev = dep(state.params, state.batch_stats, images, prev)
     float(prev)
     return batch * iters / (time.perf_counter() - t0)
 
@@ -436,8 +466,8 @@ def bench_eval_section(batch=128):
     out["eval_device_images_per_sec"] = round(device_rate, 1)
 
     # ---- single-view leg, bracketed ----
-    host_pre = _eval_host_probe(builder)
-    wire_pre, _ = bench_wire(batch=batch, dtype="uint8")
+    host_pre, esample = _eval_host_probe(builder)
+    wire_pre, _ = bench_wire(batch=batch, dtype="uint8", buf=esample)
     predict_ds(model, state, builder.get_ds_prediction(),
                save_path=None)  # warmup: compiles full+partial shapes
     t0 = time.perf_counter()
@@ -445,8 +475,8 @@ def bench_eval_section(batch=128):
                        save_path=None)
     rate = n / (time.perf_counter() - t0)
     assert len(preds) == n, (len(preds), n)
-    host_mid = _eval_host_probe(builder)
-    wire_mid, _ = bench_wire(batch=batch, dtype="uint8")
+    host_mid, _ = _eval_host_probe(builder)
+    wire_mid, _ = bench_wire(batch=batch, dtype="uint8", buf=esample)
     out["eval_from_records_images_per_sec"] = round(rate, 1)
     out["eval_host_pipeline_images_per_sec"] = round(
         0.5 * (host_pre + host_mid), 1)
@@ -465,8 +495,8 @@ def bench_eval_section(batch=128):
                        save_path=None, flip_test=True)
     rate_f = n / (time.perf_counter() - t0)
     assert len(preds) == n
-    host_post = _eval_host_probe(builder)
-    wire_post, _ = bench_wire(batch=batch, dtype="uint8")
+    host_post, _ = _eval_host_probe(builder)
+    wire_post, _ = bench_wire(batch=batch, dtype="uint8", buf=esample)
     out["eval_from_records_fliptta_images_per_sec"] = round(rate_f, 1)
     _bracket(out, "eval_fliptta", rate_f,
              [host_mid, wire_mid, device_rate_f],
