@@ -286,6 +286,13 @@ def _bracket(out, prefix, e2e_rate, pre_terms, post_terms):
             "put+drain LOWER bound while the measured loop pipelines its "
             "puts — a conservative bound by construction, not a "
             "regression signal")
+    elif out[f"{prefix}_vs_bound"] < 0.8:
+        out[f"{prefix}_bound_note"] = (
+            "e2e underran its contemporaneous probes: the tunnel window "
+            "moved INSIDE the timed leg faster than the pre/post probes "
+            "resolve (documented ~30% swings, occasionally 2x) — compare "
+            "against the sibling legs' rates in this artifact before "
+            "reading it as a regression")
     return out
 
 
